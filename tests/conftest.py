@@ -1,0 +1,22 @@
+"""Test configuration: force CPU with an 8-device virtual mesh.
+
+Mirrors the reference's strategy of running the real system in miniature on CPU
+(reference tests/examples/test_example.py); multi-chip sharding is exercised on
+the virtual device mesh (SURVEY.md §4).
+
+Note: a sitecustomize.py may have already imported jax and pointed it at a
+tunneled TPU plugin before this file runs, so setting env vars alone is not
+enough — we must update the jax config directly (backends initialize lazily,
+so this works as long as no computation ran yet).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

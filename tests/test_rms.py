@@ -1,0 +1,80 @@
+"""Running mean/std vs. analytic values (modeled on reference tests/algo/test_rms.py)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sample_factory_tpu.algo.running_mean_std import (
+    obs_rms_init,
+    obs_rms_normalize,
+    obs_rms_update,
+    rms_denormalize,
+    rms_init,
+    rms_normalize,
+    rms_update,
+)
+from sample_factory_tpu.envs.spaces import Box, make_dict_spec
+
+
+def test_rms_converges_to_batch_stats():
+    rng = np.random.default_rng(0)
+    data = (rng.normal(size=(100, 64, 5)) * 3.0 + 7.0).astype(np.float32)
+    state = rms_init((5,))
+    for batch in data:
+        state = rms_update(state, jnp.asarray(batch))
+    all_data = data.reshape(-1, 5)
+    np.testing.assert_allclose(np.asarray(state.running_mean), all_data.mean(0), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(state.running_var), all_data.var(0), rtol=2e-2)
+
+
+def test_rms_normalize_denormalize_roundtrip():
+    state = rms_init((3,))
+    state = rms_update(state, jnp.asarray(np.random.default_rng(1).normal(size=(1000, 3)).astype(np.float32) * 2 + 1))
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(16, 3)).astype(np.float32))
+    normalized = rms_normalize(state, x)
+    restored = rms_denormalize(state, normalized)
+    # roundtrip is exact when values are inside the clip range
+    np.testing.assert_allclose(np.asarray(restored), np.asarray(x), rtol=1e-4, atol=1e-4)
+
+
+def test_rms_normalized_output_is_standardized():
+    rng = np.random.default_rng(3)
+    data = (rng.normal(size=(200, 128, 4)) * 5 - 2).astype(np.float32)
+    state = rms_init((4,))
+    for batch in data:
+        state = rms_update(state, jnp.asarray(batch))
+    normalized = np.asarray(rms_normalize(state, jnp.asarray(data.reshape(-1, 4))))
+    np.testing.assert_allclose(normalized.mean(0), 0.0, atol=0.05)
+    np.testing.assert_allclose(normalized.std(0), 1.0, atol=0.05)
+
+
+def test_rms_clip():
+    state = rms_init((2,), clip=5.0)
+    x = jnp.asarray(np.array([[1000.0, -1000.0]], dtype=np.float32))
+    out = np.asarray(rms_normalize(state, x))
+    assert (np.abs(out) <= 5.0).all()
+
+
+def test_rms_per_channel_image():
+    rng = np.random.default_rng(4)
+    imgs = rng.normal(size=(32, 8, 8, 3)).astype(np.float32) * 2 + 1
+    state = rms_init((8, 8, 3), per_channel=True)
+    state = rms_update(state, jnp.asarray(imgs))
+    assert state.running_mean.shape == (3,)
+    np.testing.assert_allclose(np.asarray(state.running_mean), imgs.mean(axis=(0, 1, 2)), rtol=0.2, atol=0.2)
+    out = rms_normalize(state, jnp.asarray(imgs))
+    assert out.shape == imgs.shape
+
+
+def test_obs_rms_dict():
+    space = make_dict_spec({"obs": Box((6,)), "measurements": Box((2,))})
+    state = obs_rms_init(space, keys_to_normalize=["obs"])
+    assert set(state.keys()) == {"obs"}
+    obs = {
+        "obs": jnp.asarray(np.random.default_rng(5).normal(size=(32, 6)).astype(np.float32)),
+        "measurements": jnp.ones((32, 2), jnp.float32),
+    }
+    state = obs_rms_update(state, obs)
+    normalized = obs_rms_normalize(state, obs)
+    assert set(normalized.keys()) == {"obs", "measurements"}
+    np.testing.assert_allclose(np.asarray(normalized["measurements"]), 1.0)  # untouched
