@@ -59,6 +59,7 @@ def _cli_only_args(parser: argparse.ArgumentParser, argv: List[str]) -> argparse
     so anything present was typed by the user. Used for resume-merge precedence.
     """
     no_defaults = copy.deepcopy(parser)
+    no_defaults._defaults.clear()  # values injected via parser.set_defaults(...)
     for action in no_defaults._actions:
         action.default = argparse.SUPPRESS
     args, _ = no_defaults.parse_known_args(argv)

