@@ -1,0 +1,584 @@
+"""Host-env sampler: CPU (gymnasium) envs feeding the device pipeline.
+
+This is the TPU-native replacement for the reference's RolloutWorker processes
++ shared-memory trajectory buffers (reference `algo/sampling/rollout_worker.py`,
+`algo/utils/shared_buffers.py`): worker processes step envs and exchange data
+with the main process through preallocated SharedMemory slabs (zero-copy, the
+analog of the reference's share_memory_() tensors); only tiny control messages
+cross the pipe. Double buffering via --worker_num_splits overlaps env stepping
+of one split with device inference for the other (the reference's
+`advance_rollouts` ping-pong, rollout_worker.py:176-259, without the separate
+inference-worker process).
+
+The produced trajectory has the same schema/layout as the on-device sampler
+([T, N, ...], T+1 obs/rnn entries), so the same fused learner consumes it.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import pickle
+import time
+from multiprocessing import shared_memory
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sample_factory_tpu.algo.distributions import get_action_distribution, sample_actions_log_probs
+from sample_factory_tpu.algo.running_mean_std import obs_rms_normalize
+from sample_factory_tpu.algo.sampling import _process_rewards, _static_preprocess
+from sample_factory_tpu.envs.spaces import action_dtype, num_actions, obs_space_as_dict
+from sample_factory_tpu.models.actor_critic import initial_actor_critic_state
+from sample_factory_tpu.utils.attr_dict import AttrDict
+from sample_factory_tpu.utils.utils import log
+
+
+# ------------------------------------------------------------------ shm slabs
+
+
+class ShmSlabs:
+    """Preallocated shared-memory arrays for worker<->main data exchange.
+
+    Layout: per array, [num_workers, num_splits, envs_per_split, ...].
+    """
+
+    def __init__(self, cfg, env_info, create: bool = True, name_prefix: Optional[str] = None):
+        self.cfg = cfg
+        W = cfg.num_workers
+        K = cfg.worker_num_splits
+        E = cfg.num_envs_per_worker // K
+        self.shape_prefix = (W, K, E)
+
+        obs_spec = obs_space_as_dict(env_info.obs_space)
+        self._specs: Dict[str, Tuple[tuple, np.dtype]] = {}
+        for key, space in obs_spec.items():
+            self._specs[f"obs_{key}"] = (self.shape_prefix + tuple(space.shape), np.dtype(getattr(space, "dtype", "float32")))
+        a_dt = np.int32 if action_dtype(env_info.action_space) == "int32" else np.float32
+        self._specs["actions"] = (self.shape_prefix + (num_actions(env_info.action_space),), np.dtype(a_dt))
+        self._specs["rewards"] = (self.shape_prefix, np.dtype(np.float32))
+        self._specs["terminated"] = (self.shape_prefix, np.dtype(np.bool_))
+        self._specs["truncated"] = (self.shape_prefix, np.dtype(np.bool_))
+
+        self._prefix = name_prefix or f"sftpu_{os.getpid()}_{int(time.time() * 1e6) % 10**9}"
+        self._shms: Dict[str, shared_memory.SharedMemory] = {}
+        self.arrays: Dict[str, np.ndarray] = {}
+        for name, (shape, dtype) in self._specs.items():
+            nbytes = int(np.prod(shape)) * dtype.itemsize
+            shm_name = f"{self._prefix}_{name}"
+            if create:
+                shm = shared_memory.SharedMemory(name=shm_name, create=True, size=max(1, nbytes))
+            else:
+                shm = shared_memory.SharedMemory(name=shm_name, create=False)
+            self._shms[name] = shm
+            self.arrays[name] = np.ndarray(shape, dtype=dtype, buffer=shm.buf)
+            if create:
+                self.arrays[name].fill(0)
+
+    def attach_spec(self):
+        return {"prefix": self._prefix, "specs": self._specs}
+
+    @classmethod
+    def attach(cls, cfg, env_info, spec):
+        obj = cls.__new__(cls)
+        obj.cfg = cfg
+        obj._prefix = spec["prefix"]
+        obj._specs = spec["specs"]
+        obj._shms = {}
+        obj.arrays = {}
+        for name, (shape, dtype) in obj._specs.items():
+            shm = shared_memory.SharedMemory(name=f"{obj._prefix}_{name}", create=False)
+            obj._shms[name] = shm
+            obj.arrays[name] = np.ndarray(shape, dtype=dtype, buffer=shm.buf)
+        return obj
+
+    def close(self, unlink: bool = False):
+        for shm in self._shms.values():
+            try:
+                shm.close()
+                if unlink:
+                    shm.unlink()
+            except Exception:  # noqa: BLE001
+                pass
+
+
+# ------------------------------------------------------------------- worker
+
+
+def _apply_cpu_affinity(cfg, worker_idx: int) -> None:
+    """Pin the worker to a core range (reference utils.py:471-500)."""
+    if not cfg.set_workers_cpu_affinity:
+        return
+    try:
+        cores = os.sched_getaffinity(0)
+        num_cores = len(cores)
+        core_list = sorted(cores)
+        core = core_list[worker_idx % num_cores]
+        os.sched_setaffinity(0, {core})
+    except Exception:  # noqa: BLE001 - affinity is best-effort
+        pass
+
+
+def host_env_worker(worker_idx: int, cfg, env_info, slabs_spec, cmd_conn, res_conn, register_fn_pickled):
+    """Worker process: owns num_envs_per_worker gymnasium envs split into
+    worker_num_splits groups; steps a group per command.
+
+    cmd_conn/res_conn are either mp.Pipe connections or ShmQueue instances
+    (the native faster-fifo-equivalent channel) — both expose recv/send via
+    the small adapters below.
+    """
+    recv_cmd = (lambda: cmd_conn.get(timeout=3600.0)) if hasattr(cmd_conn, "get") else cmd_conn.recv
+    send_res = (
+        (lambda msg: res_conn.put((worker_idx, msg))) if hasattr(res_conn, "put") else (lambda msg: res_conn.send(msg))
+    )
+    try:
+        _apply_cpu_affinity(cfg, worker_idx)
+        if cfg.force_envs_single_thread:
+            os.environ.setdefault("OMP_NUM_THREADS", "1")
+            os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+        # re-register envs in this process (the registry is per-process state)
+        if register_fn_pickled is not None:
+            register_fn = pickle.loads(register_fn_pickled)
+            register_fn()
+
+        from sample_factory_tpu.envs.env_utils import create_env
+        from sample_factory_tpu.envs.gym_wrappers import wrap_host_env
+
+        K = cfg.worker_num_splits
+        E = cfg.num_envs_per_worker // K
+        slabs = ShmSlabs.attach(cfg, env_info, slabs_spec)
+
+        envs: List[List[Any]] = []
+        ep_returns = np.zeros((K, E), np.float64)
+        ep_lens = np.zeros((K, E), np.int64)
+        for s in range(K):
+            row = []
+            for e in range(E):
+                env_id = worker_idx * cfg.num_envs_per_worker + s * E + e
+                env_config = AttrDict(worker_index=worker_idx, vector_index=s * E + e, env_id=env_id)
+                env = create_env(cfg.env, cfg=cfg, env_config=env_config)
+                env = wrap_host_env(env, cfg)
+                row.append(env)
+            envs.append(row)
+
+        obs_keys = [k for k in slabs.arrays if k.startswith("obs_")]
+
+        def write_obs(s: int, e: int, obs: Dict[str, np.ndarray]) -> None:
+            for k in obs_keys:
+                slabs.arrays[k][worker_idx, s, e] = obs[k[4:]]
+
+        # initial reset (decorrelation: different seeds per env)
+        for s in range(K):
+            for e in range(E):
+                obs, _ = envs[s][e].reset(seed=cfg.seed + worker_idx * 10007 + s * 101 + e)
+                write_obs(s, e, obs)
+        send_res(("initialized", None, None))
+
+        while True:
+            msg = recv_cmd()
+            if msg[0] == "step":
+                split = msg[1]
+                actions = slabs.arrays["actions"][worker_idx, split]
+                completed = []
+                for e in range(E):
+                    env = envs[split][e]
+                    a = actions[e]
+                    if a.shape[0] == 1 and np.issubdtype(a.dtype, np.integer):
+                        a = int(a[0])
+                    obs, reward, terminated, truncated, info = env.step(a)
+                    ep_returns[split, e] += reward
+                    ep_lens[split, e] += 1
+                    if terminated or truncated:
+                        completed.append((float(ep_returns[split, e]), int(ep_lens[split, e])))
+                        ep_returns[split, e] = 0.0
+                        ep_lens[split, e] = 0
+                        obs, _ = env.reset()
+                    slabs.arrays["rewards"][worker_idx, split, e] = reward
+                    slabs.arrays["terminated"][worker_idx, split, e] = terminated
+                    slabs.arrays["truncated"][worker_idx, split, e] = truncated
+                    write_obs(split, e, obs)
+                send_res(("ready", split, completed))
+            elif msg[0] == "close":
+                break
+        for row in envs:
+            for env in row:
+                try:
+                    env.close()
+                except Exception:  # noqa: BLE001
+                    pass
+        slabs.close()
+        send_res(("closed", None, None))
+    except KeyboardInterrupt:
+        pass
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        send_res(("error", None, f"{e}\n{traceback.format_exc()}"))
+
+
+# -------------------------------------------------------------- host sampler
+
+
+class HostVectorSampler:
+    """Steps W workers x K splits x E envs and produces device trajectories.
+
+    In --serial_mode the envs are stepped inline (no processes), the debugging
+    fallback the reference also provides (docs/07-advanced-topics/serial-mode.md).
+    """
+
+    def __init__(self, cfg, env_info, model, register_fn=None):
+        self.cfg = cfg
+        self.env_info = env_info
+        self.model = model
+        self.register_fn = register_fn
+
+        self.W = cfg.num_workers
+        self.K = cfg.worker_num_splits
+        assert cfg.num_envs_per_worker % self.K == 0, "num_envs_per_worker must divide by worker_num_splits"
+        self.E = cfg.num_envs_per_worker // self.K
+        self.num_envs = self.W * self.K * self.E
+        self.split_size = self.W * self.E  # envs per split across all workers
+
+        self.slabs = ShmSlabs(cfg, env_info, create=True)
+        self.workers: List[mp.Process] = []
+        self.cmd_conns: List[Any] = []
+        self.res_conns: List[Any] = []
+        self.serial_envs = None
+        self._serial_ep_stats = None
+        self._use_shm_queue = False
+        self.result_queue = None
+        self.last_heartbeat = np.full(self.W, time.time())
+
+        # device-side per-split policy state
+        self.rnn_states = [initial_actor_critic_state(cfg, self.split_size) for _ in range(self.K)]
+
+        self._policy_step = self._build_policy_step()
+        self.episodic: List[Tuple[float, int]] = []
+
+    # ------------------------------------------------------------- lifecycle
+
+    def start(self) -> None:
+        if self.cfg.serial_mode:
+            self._start_serial()
+            return
+        ctx = mp.get_context("spawn")
+        register_fn_pickled = pickle.dumps(self.register_fn) if self.register_fn is not None else None
+
+        # prefer the native shm queue (batched get_many drains all worker
+        # ready-signals under one lock, like the reference's faster-fifo)
+        from sample_factory_tpu.native.shm_queue import ShmQueue
+
+        self._use_shm_queue = ShmQueue.available()
+        if self._use_shm_queue:
+            self.result_queue = ShmQueue(capacity_bytes=4 << 20)
+            self._pending_ready: Dict[int, int] = {}
+        else:
+            self.result_queue = None
+
+        for w in range(self.W):
+            if self._use_shm_queue:
+                cmd_q = ShmQueue(capacity_bytes=1 << 20)
+                child_cmd, child_res = cmd_q, self.result_queue
+                self.cmd_conns.append(cmd_q)
+                self.res_conns.append(None)
+            else:
+                parent_cmd, child_cmd = ctx.Pipe()
+                parent_res, child_res = ctx.Pipe()
+                self.cmd_conns.append(parent_cmd)
+                self.res_conns.append(parent_res)
+            p = ctx.Process(
+                target=host_env_worker,
+                args=(w, self.cfg, self.env_info, self.slabs.attach_spec(), child_cmd, child_res, register_fn_pickled),
+                daemon=True,
+            )
+            p.start()
+            self.workers.append(p)
+
+        initialized = 0
+        deadline = time.time() + 300
+        while initialized < self.W:
+            for w, msg in self._recv_results(timeout=max(1.0, deadline - time.time())):
+                if msg[0] == "error":
+                    raise RuntimeError(f"worker {w} failed to init: {msg[2]}")
+                assert msg[0] == "initialized"
+                initialized += 1
+            if time.time() > deadline:
+                raise TimeoutError("host env workers did not initialize in time")
+        log.info(
+            "HostVectorSampler: %d workers x %d splits x %d envs started (transport=%s)",
+            self.W,
+            self.K,
+            self.E,
+            "shm_queue" if self._use_shm_queue else "pipes",
+        )
+
+    def _recv_results(self, timeout: float) -> List[Tuple[int, tuple]]:
+        """Drain available (worker, msg) results from all workers."""
+        out: List[Tuple[int, tuple]] = []
+        if self._use_shm_queue:
+            from sample_factory_tpu.native.shm_queue import QueueEmpty
+
+            try:
+                out.extend(self.result_queue.get_many(timeout=timeout))
+            except QueueEmpty:
+                pass
+            return out
+        deadline = time.time() + timeout
+        for w in range(self.W):
+            while self.res_conns[w].poll(0):
+                out.append((w, self.res_conns[w].recv()))
+        if not out:
+            # block on the first conn that becomes readable
+            for w in range(self.W):
+                if self.res_conns[w].poll(max(0.0, deadline - time.time())):
+                    out.append((w, self.res_conns[w].recv()))
+                    break
+        return out
+
+    def _start_serial(self) -> None:
+        from sample_factory_tpu.envs.env_utils import create_env
+        from sample_factory_tpu.envs.gym_wrappers import wrap_host_env
+
+        self.serial_envs = []
+        self._serial_ep_stats = (np.zeros((self.W, self.K, self.E)), np.zeros((self.W, self.K, self.E), np.int64))
+        for w in range(self.W):
+            rows = []
+            for s in range(self.K):
+                row = []
+                for e in range(self.E):
+                    env_id = w * self.cfg.num_envs_per_worker + s * self.E + e
+                    env_config = AttrDict(worker_index=w, vector_index=s * self.E + e, env_id=env_id)
+                    env = wrap_host_env(create_env(self.cfg.env, cfg=self.cfg, env_config=env_config), self.cfg)
+                    obs, _ = env.reset(seed=self.cfg.seed + env_id)
+                    for k, v in obs.items():
+                        self.slabs.arrays[f"obs_{k}"][w, s, e] = v
+                    row.append(env)
+                rows.append(row)
+            self.serial_envs.append(rows)
+
+    def close(self) -> None:
+        if self.serial_envs is not None:
+            for rows in self.serial_envs:
+                for row in rows:
+                    for env in row:
+                        try:
+                            env.close()
+                        except Exception:  # noqa: BLE001
+                            pass
+        else:
+            for conn in self.cmd_conns:
+                try:
+                    if self._use_shm_queue:
+                        conn.put(("close",))
+                    else:
+                        conn.send(("close",))
+                except Exception:  # noqa: BLE001
+                    pass
+            for p in self.workers:
+                p.join(timeout=5)
+                if p.is_alive():
+                    p.terminate()
+            if self._use_shm_queue:
+                for q in self.cmd_conns:
+                    q.close()
+                if self.result_queue is not None:
+                    self.result_queue.close()
+        self.slabs.close(unlink=True)
+
+    # ------------------------------------------------------------- stepping
+
+    def _build_policy_step(self):
+        cfg, env_info, model = self.cfg, self.env_info, self.model
+        a_dtype = jnp.int32 if action_dtype(env_info.action_space) == "int32" else jnp.float32
+
+        def policy_step(params, obs_rms, obs, rnn_state, key):
+            normalized = obs_rms_normalize(obs_rms, _static_preprocess(cfg, obs)) if obs_rms is not None else _static_preprocess(cfg, obs)
+            action_params, values, new_rnn = model.apply(params, normalized, rnn_state)
+            dist = get_action_distribution(env_info.action_space, action_params)
+            actions, log_probs = sample_actions_log_probs(dist, key)
+            return actions.astype(a_dtype), log_probs, action_params, values, new_rnn
+
+        return jax.jit(policy_step)
+
+    def _split_obs(self, split: int) -> Dict[str, np.ndarray]:
+        out = {}
+        for k, arr in self.slabs.arrays.items():
+            if k.startswith("obs_"):
+                out[k[4:]] = arr[:, split].reshape((self.split_size,) + arr.shape[3:])
+        return out
+
+    def _signal_step(self, split: int) -> None:
+        if self.serial_envs is not None:
+            self._serial_step(split)
+        elif self._use_shm_queue:
+            for q in self.cmd_conns:
+                q.put(("step", split))
+        else:
+            for conn in self.cmd_conns:
+                conn.send(("step", split))
+
+    def _wait_ready(self, split: int) -> None:
+        if self.serial_envs is not None:
+            return
+        if not hasattr(self, "_ready_counts"):
+            self._ready_counts: Dict[int, int] = {}
+        deadline = time.time() + max(60.0, self.cfg.heartbeat_reporting_interval)
+        while self._ready_counts.get(split, 0) < self.W:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                raise TimeoutError(f"workers did not respond for split {split} (heartbeat timeout)")
+            for w, msg in self._recv_results(timeout=min(remaining, 5.0)):
+                if msg[0] == "error":
+                    raise RuntimeError(f"worker {w} crashed: {msg[2]}")
+                if msg[0] != "ready":
+                    continue
+                self._ready_counts[msg[1]] = self._ready_counts.get(msg[1], 0) + 1
+                self.last_heartbeat[w] = time.time()
+                self.episodic.extend(msg[2])
+        self._ready_counts[split] -= self.W
+
+    def _serial_step(self, split: int) -> None:
+        ep_ret, ep_len = self._serial_ep_stats
+        for w in range(self.W):
+            actions = self.slabs.arrays["actions"][w, split]
+            for e in range(self.E):
+                env = self.serial_envs[w][split][e]
+                a = actions[e]
+                if a.shape[0] == 1 and np.issubdtype(a.dtype, np.integer):
+                    a = int(a[0])
+                obs, reward, terminated, truncated, info = env.step(a)
+                ep_ret[w, split, e] += reward
+                ep_len[w, split, e] += 1
+                if terminated or truncated:
+                    self.episodic.append((float(ep_ret[w, split, e]), int(ep_len[w, split, e])))
+                    ep_ret[w, split, e] = 0.0
+                    ep_len[w, split, e] = 0
+                    obs, _ = env.reset()
+                self.slabs.arrays["rewards"][w, split, e] = reward
+                self.slabs.arrays["terminated"][w, split, e] = terminated
+                self.slabs.arrays["truncated"][w, split, e] = truncated
+                for k, v in obs.items():
+                    self.slabs.arrays[f"obs_{k}"][w, split, e] = v
+
+    # ------------------------------------------------------ rollout assembly
+
+    def collect_rollout(self, params, obs_rms, key, policy_version: int, policy_id: int = 0):
+        """Collect cfg.rollout steps from all envs. Returns (trajectory, stats).
+
+        Per timestep, splits are processed round-robin: while split s's envs
+        step on CPU workers, the device runs inference for split s+1.
+        """
+        cfg = self.cfg
+        T = cfg.rollout
+        transitions: List[List[Dict[str, Any]]] = [[] for _ in range(self.K)]
+        self.episodic = []
+
+        for t in range(T):
+            for s in range(self.K):
+                self._collect_one(params, obs_rms, key, policy_version, policy_id, t, s, transitions)
+                key = jax.random.fold_in(key, t * self.K + s)
+
+        # flush: wait for the last env steps, finalize rewards/dones
+        final_obs = []
+        for s in range(self.K):
+            self._wait_ready(s)
+            rew = self.slabs.arrays["rewards"][:, s].reshape(self.split_size).copy()
+            term = self.slabs.arrays["terminated"][:, s].reshape(self.split_size).copy()
+            trunc = self.slabs.arrays["truncated"][:, s].reshape(self.split_size).copy()
+            self._finalize_last(transitions[s], rew, term, trunc)
+            # rnn reset for next rollout
+            done = np.logical_or(term, trunc)
+            self.rnn_states[s] = jnp.where(jnp.asarray(done)[:, None], jnp.zeros_like(self.rnn_states[s]), self.rnn_states[s])
+            final_obs.append({k: jnp.asarray(v) for k, v in self._split_obs(s).items()})
+
+        traj = self._assemble(transitions, final_obs, policy_version, policy_id)
+        stats = {
+            "count": float(len(self.episodic)),
+            "return_sum": float(sum(r for r, _ in self.episodic)),
+            "raw_return_sum": float(sum(r for r, _ in self.episodic)),
+            "len_sum": float(sum(l for _, l in self.episodic)),
+        }
+        return traj, stats
+
+    def _collect_one(self, params, obs_rms, key, policy_version, policy_id, t, s, transitions):
+        if t > 0:
+            # finalize previous step's transition for this split
+            self._wait_ready(s)
+            rew = self.slabs.arrays["rewards"][:, s].reshape(self.split_size).copy()
+            term = self.slabs.arrays["terminated"][:, s].reshape(self.split_size).copy()
+            trunc = self.slabs.arrays["truncated"][:, s].reshape(self.split_size).copy()
+            self._finalize_last(transitions[s], rew, term, trunc)
+            done = np.logical_or(term, trunc)
+            self.rnn_states[s] = jnp.where(jnp.asarray(done)[:, None], jnp.zeros_like(self.rnn_states[s]), self.rnn_states[s])
+
+        obs_np = self._split_obs(s)
+        obs_dev = {k: jnp.asarray(v) for k, v in obs_np.items()}
+        rnn = self.rnn_states[s]
+        actions, log_probs, action_params, values, new_rnn = self._policy_step(params, obs_rms, obs_dev, rnn, key)
+        self.rnn_states[s] = new_rnn
+
+        # ship actions to workers and let them step while we do other splits
+        a_np = np.asarray(actions)
+        self.slabs.arrays["actions"][:, s] = a_np.reshape((self.W, self.E) + a_np.shape[1:])
+        self._signal_step(s)
+
+        transitions[s].append(
+            {
+                "obs": obs_dev,
+                "rnn_states": rnn,
+                "actions": actions,
+                "action_logits": action_params,
+                "log_prob_actions": log_probs,
+                "values": values,
+                # filled at finalize:
+                "rewards": None,
+                "dones": None,
+                "time_outs": None,
+            }
+        )
+
+    def _finalize_last(self, split_transitions, rew, term, trunc) -> None:
+        tr = split_transitions[-1]
+        proc = _process_rewards(self.cfg, rew.astype(np.float32))
+        tr["rewards"] = jnp.asarray(proc)
+        done = np.logical_or(term, trunc).astype(np.float32)
+        tr["dones"] = jnp.asarray(done)
+        tr["time_outs"] = jnp.asarray(np.logical_and(trunc, ~term).astype(np.float32))
+
+    def _assemble(self, transitions, final_obs, policy_version, policy_id):
+        """Stack [T] x K splits -> trajectory [T, N] matching the device sampler schema."""
+        cfg = self.cfg
+        T = cfg.rollout
+
+        def stack_key(key_fn):
+            # concat splits along env axis, stack time
+            per_t = []
+            for t in range(T):
+                parts = [key_fn(transitions[s][t]) for s in range(self.K)]
+                per_t.append(jnp.concatenate(parts, axis=0) if self.K > 1 else parts[0])
+            return jnp.stack(per_t, axis=0)
+
+        traj = {}
+        obs_keys = transitions[0][0]["obs"].keys()
+        obs_stacked = {k: stack_key(lambda tr, kk=k: tr["obs"][kk]) for k in obs_keys}
+        final = {
+            k: (jnp.concatenate([final_obs[s][k] for s in range(self.K)], axis=0) if self.K > 1 else final_obs[0][k])
+            for k in obs_keys
+        }
+        traj["obs"] = {k: jnp.concatenate([obs_stacked[k], final[k][None]], axis=0) for k in obs_keys}
+
+        rnn_stacked = stack_key(lambda tr: tr["rnn_states"])
+        final_rnn = jnp.concatenate(self.rnn_states, axis=0) if self.K > 1 else self.rnn_states[0]
+        traj["rnn_states"] = jnp.concatenate([rnn_stacked, final_rnn[None]], axis=0)
+
+        for k in ("actions", "action_logits", "log_prob_actions", "values", "rewards", "dones", "time_outs"):
+            traj[k] = stack_key(lambda tr, kk=k: tr[kk])
+
+        shape = traj["rewards"].shape
+        traj["policy_version"] = jnp.full(shape, policy_version, jnp.int32)
+        traj["policy_id"] = jnp.full(shape, policy_id, jnp.int32)
+        return traj

@@ -65,6 +65,25 @@ class PolicyTrainState:
     returns_rms: Any  # RunningMeanStdState or None
     curr_lr: jnp.ndarray  # f32 scalar
     train_step: jnp.ndarray  # i32 scalar: policy version (one per SGD step)
+    # PBT-tunable hyperparameters as traced scalars (reference
+    # pbt/population_based_training.py HYPERPARAMS_TO_TUNE): per-policy values
+    # can be mutated on the host without recompiling the fused train step
+    hparams: Any = None
+
+
+PBT_HPARAMS = (
+    "learning_rate",
+    "exploration_loss_coeff",
+    "value_loss_coeff",
+    "max_grad_norm",
+    "ppo_clip_ratio",
+    "ppo_clip_value",
+    "gamma",
+)
+
+
+def default_hparams(cfg) -> Dict[str, jnp.ndarray]:
+    return {name: jnp.asarray(getattr(cfg, name), jnp.float32) for name in PBT_HPARAMS}
 
 
 def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy_id: int = 0) -> Callable:
@@ -99,8 +118,9 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
         action_params, values = model.apply(params, core_out, method="forward_tail")
         return action_params, values
 
-    def compute_losses(params, mb, key):
-        """mb: dict of [B, ...] arrays (B = batch, segments contiguous)."""
+    def compute_losses(params, mb, hp, key):
+        """mb: dict of [B, ...] arrays (B = batch, segments contiguous);
+        hp: dict of traced hyperparameter scalars (see PBT_HPARAMS)."""
         B = mb["valids"].shape[0]
         S = B // recurrence
         seg = lambda x: x.reshape((S, recurrence) + x.shape[1:])
@@ -124,7 +144,7 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
             dones_tm = jnp.swapaxes(seg(mb["dones"]), 0, 1)
             vs, adv_tm = vtrace(
                 rewards_tm, dones_tm, jax.lax.stop_gradient(values_tm), jax.lax.stop_gradient(ratios_tm),
-                cfg.gamma, cfg.vtrace_rho, cfg.vtrace_c,
+                hp["gamma"], cfg.vtrace_rho, cfg.vtrace_c,
             )
             targets = jnp.swapaxes(vs, 0, 1).reshape(B)
             adv = jnp.swapaxes(adv_tm, 0, 1).reshape(B)
@@ -136,22 +156,22 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
         targets = jax.lax.stop_gradient(targets)
         adv, adv_mean, adv_std = normalize_advantages(adv, valids)
 
-        clip_ratio_high = 1.0 + cfg.ppo_clip_ratio
+        clip_ratio_high = 1.0 + hp["ppo_clip_ratio"]
         clip_ratio_low = 1.0 / clip_ratio_high
         p_loss = policy_loss(ratio, adv, clip_ratio_low, clip_ratio_high, valids)
 
         if cfg.exploration_loss == "entropy":
-            expl_loss = entropy_exploration_loss(dist.entropy(), valids, cfg.exploration_loss_coeff)
+            expl_loss = entropy_exploration_loss(dist.entropy(), valids, hp["exploration_loss_coeff"])
         else:
             expl_loss = symmetric_kl_exploration_loss(
-                dist.symmetric_kl_with_uniform_prior(), valids, cfg.exploration_loss_coeff
+                dist.symmetric_kl_with_uniform_prior(), valids, hp["exploration_loss_coeff"]
             )
 
         old_dist = get_action_distribution(action_space, mb["action_logits"])
         kl_old = dist.kl_divergence(old_dist)
         kl_old_mean, kl_penalty = kl_loss_fn(kl_old, valids, cfg.kl_loss_coeff)
 
-        v_loss = value_loss(new_values, mb["values"], targets, cfg.ppo_clip_value, valids, cfg.value_loss_coeff)
+        v_loss = value_loss(new_values, mb["values"], targets, hp["ppo_clip_value"], valids, hp["value_loss_coeff"])
 
         loss = p_loss + expl_loss + kl_penalty + v_loss
 
@@ -183,9 +203,13 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
     def sgd_step(carry, mb_and_key):
         ts, valid_frac_global = carry
         mb, key = mb_and_key
-        (loss, aux), grads = grad_fn(ts.params, mb, key)
+        (loss, aux), grads = grad_fn(ts.params, mb, ts.hparams, key)
 
         grad_norm = optax.global_norm(grads)
+        if cfg.max_grad_norm > 0.0:
+            # manual clip so the norm bound can be a traced per-policy value
+            scale = jnp.minimum(1.0, ts.hparams["max_grad_norm"] / (grad_norm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
 
         # invalid-data LR scaling (reference :789-794)
         actual_lr = ts.curr_lr * valid_frac_global
@@ -205,13 +229,13 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
         aux["actual_lr"] = actual_lr
         return (ts, valid_frac_global), aux
 
-    def prepare_batch(ts: PolicyTrainState, traj: Dict[str, Any]):
+    def prepare_batch(ts: PolicyTrainState, traj: Dict[str, Any], pid):
         """Reference _prepare_batch (:943-1030), on time-major arrays."""
         T = traj["rewards"].shape[0]
         N = traj["rewards"].shape[1]
 
         # --- valids: same policy & within lag budget (reference :949-955)
-        same_policy = traj["policy_id"] == policy_id
+        same_policy = traj["policy_id"] == pid
         within_lag = (ts.train_step - traj["policy_version"]) < cfg.max_policy_lag
         valids_t = (same_policy & within_lag).astype(jnp.float32)  # [T, N]
         valids = jnp.concatenate([valids_t, valids_t[-1:]], axis=0)  # [T+1, N]
@@ -238,13 +262,14 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
             denorm_values = values
 
         rewards = traj["rewards"]
+        gamma = ts.hparams["gamma"]
         if cfg.value_bootstrap:
             # count only timeouts in terminal states (reference :980-990)
-            rewards = rewards + cfg.gamma * denorm_values[:-1] * traj["time_outs"] * traj["dones"]
+            rewards = rewards + gamma * denorm_values[:-1] * traj["time_outs"] * traj["dones"]
 
         returns_rms = ts.returns_rms
         if not cfg.with_vtrace:
-            advantages = gae_advantages(rewards, traj["dones"], denorm_values, valids, cfg.gamma, cfg.gae_lambda)
+            advantages = gae_advantages(rewards, traj["dones"], denorm_values, valids, gamma, cfg.gae_lambda)
             returns = advantages + valids[:-1] * denorm_values[:-1]
             if cfg.normalize_returns and returns_rms is not None:
                 returns_rms = rms_update(returns_rms, returns.reshape(-1, 1))
@@ -281,8 +306,11 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
         valid_frac = jnp.mean(dataset["valids"])
         return ts.replace(obs_rms=obs_rms, returns_rms=returns_rms), dataset, valid_frac
 
-    def train(ts: PolicyTrainState, traj: Dict[str, Any], key) -> Tuple[PolicyTrainState, Dict[str, jnp.ndarray]]:
-        ts, dataset, valid_frac = prepare_batch(ts, traj)
+    def train(
+        ts: PolicyTrainState, traj: Dict[str, Any], key, pid=policy_id
+    ) -> Tuple[PolicyTrainState, Dict[str, jnp.ndarray]]:
+        """pid may be a traced per-policy index (vmapped population training)."""
+        ts, dataset, valid_frac = prepare_batch(ts, traj, pid)
 
         dataset_size = dataset["valids"].shape[0]
         batch_size = min(cfg.batch_size, dataset_size)
@@ -348,4 +376,5 @@ def init_train_state(cfg, env_info, model, tx, init_key, example_obs) -> PolicyT
         returns_rms=returns_rms,
         curr_lr=jnp.asarray(cfg.learning_rate, jnp.float32),
         train_step=jnp.zeros((), jnp.int32),
+        hparams=default_hparams(cfg),
     )

@@ -85,9 +85,9 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     """
 
     def build(learning_rate):
+        # NOTE: grad clipping is NOT part of the chain — the learner clips
+        # manually so --max_grad_norm can be a traced per-policy value (PBT)
         parts = []
-        if cfg.max_grad_norm > 0.0:
-            parts.append(optax.clip_by_global_norm(cfg.max_grad_norm))
         if cfg.optimizer == "adam":
             parts.append(optax.scale_by_adam(b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_eps))
         elif cfg.optimizer == "lamb":

@@ -1,0 +1,89 @@
+"""Model export for deployment.
+
+Parity: reference `sample_factory/export_onnx.py:26-100` (OnnxExporter wrapping
+the actor-critic for inference). The TPU-native serialization formats are
+jax.export (StableHLO, loadable from any XLA runtime) and TFLite/SavedModel via
+jax2tf when TensorFlow is present; ONNX has no first-class JAX path and is out
+of scope by design.
+"""
+
+from __future__ import annotations
+
+import os
+from os.path import join
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sample_factory_tpu.algo.distributions import argmax_actions, get_action_distribution
+from sample_factory_tpu.algo.learning import init_train_state
+from sample_factory_tpu.algo.optimizers import make_optimizer
+from sample_factory_tpu.algo.running_mean_std import obs_rms_normalize
+from sample_factory_tpu.algo.sampling import _static_preprocess
+from sample_factory_tpu.cfg.arguments import load_from_checkpoint
+from sample_factory_tpu.envs.env_info import obtain_env_info
+from sample_factory_tpu.envs.spaces import action_dtype, obs_space_as_dict
+from sample_factory_tpu.models.actor_critic import create_actor_critic, initial_actor_critic_state
+from sample_factory_tpu.runner.checkpoint import load_checkpoint
+from sample_factory_tpu.utils.utils import experiment_dir, log
+
+
+def build_inference_fn(cfg, env_info, model, ts, deterministic: bool = True):
+    """A self-contained (obs, rnn_state, key) -> (actions, new_rnn_state) fn
+    with normalization folded in — the exported policy."""
+    a_dtype = jnp.int32 if action_dtype(env_info.action_space) == "int32" else jnp.float32
+    params, obs_rms = ts.params, ts.obs_rms
+
+    def infer(obs, rnn_state, key):
+        normalized = obs_rms_normalize(obs_rms, _static_preprocess(cfg, obs)) if obs_rms is not None else _static_preprocess(cfg, obs)
+        action_params, values, new_rnn = model.apply(params, normalized, rnn_state)
+        dist = get_action_distribution(env_info.action_space, action_params)
+        if deterministic:
+            actions = argmax_actions(dist)
+        else:
+            actions = dist.sample(key)
+        return actions.astype(a_dtype), new_rnn
+
+    return infer
+
+
+def export_model(cfg, batch_size: int = 1, output_path: Optional[str] = None) -> str:
+    """Serialize the policy to a StableHLO artifact via jax.export."""
+    cfg = load_from_checkpoint(cfg)
+    env_info = obtain_env_info(cfg)
+    model = create_actor_critic(cfg, env_info.obs_space, env_info.action_space)
+    tx = make_optimizer(cfg)
+
+    key = jax.random.PRNGKey(0)
+    obs_spec = obs_space_as_dict(env_info.obs_space)
+    example_obs = {k: jnp.zeros((batch_size,) + tuple(s.shape), jnp.float32) for k, s in obs_spec.items()}
+    rnn_state = initial_actor_critic_state(cfg, batch_size)
+
+    ts = init_train_state(cfg, env_info, model, tx, key, example_obs)
+    restored = load_checkpoint(cfg, cfg.policy_index, ts)
+    if restored is None:
+        raise FileNotFoundError("no checkpoint to export")
+    ts = restored[0]
+
+    infer = build_inference_fn(cfg, env_info, model, ts, deterministic=cfg.eval_deterministic)
+
+    from jax import export as jax_export
+
+    exported = jax_export.export(jax.jit(infer))(example_obs, rnn_state, key)
+    blob = exported.serialize()
+
+    output_path = output_path or join(experiment_dir(cfg), f"policy_p{cfg.policy_index}.stablehlo")
+    with open(output_path, "wb") as f:
+        f.write(blob)
+    log.info("Exported policy (%d bytes StableHLO) to %s", len(blob), output_path)
+    return output_path
+
+
+def load_exported_model(path: str):
+    """Deserialize and return a callable (obs, rnn_state, key) -> (actions, rnn)."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return exported.call

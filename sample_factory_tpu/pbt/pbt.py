@@ -1,0 +1,184 @@
+"""Population-based training over a vmapped policy population.
+
+Parity: reference `sample_factory/pbt/population_based_training.py` —
+HYPERPARAMS_TO_TUNE (:58), _perturb_param (:209), policy ranking + bottom-
+fraction replacement with reward-gap gating (:296-365), policy 0 never mutated
+(:353-360), per-policy cfg JSON files (:196-206). TPU-native differences: the
+population lives as a stacked-parameter pytree on device, so "replace policy
+i's weights with policy j's" is a host-side `x.at[i].set(x[j])` over the
+stacked train state instead of the reference's save->load signal handshake,
+and mutated hyperparameters are traced scalars written into the state
+(no learner-process cfg updates, no recompilation).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import math
+import random
+from os.path import join
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sample_factory_tpu.algo.learning import PBT_HPARAMS
+from sample_factory_tpu.utils.utils import experiment_dir, log
+
+EPS = 1e-5
+
+
+def perturb_float(x: float, perturb_amount: float = 1.2) -> float:
+    # mutation direction is random (reference perturb_float)
+    if random.random() < 0.5:
+        return x / perturb_amount
+    return x * perturb_amount
+
+
+def perturb_exponential_decay(x: float, perturb_amount_min=1.01, perturb_amount_max=1.2) -> float:
+    """For params like gamma: perturb (1 - x) so values near 1 move slowly."""
+    amount = random.uniform(perturb_amount_min, perturb_amount_max)
+    return max(EPS, 1.0 - perturb_float(1.0 - x, amount))
+
+
+SPECIAL_PERTURBATION = {"gamma": perturb_exponential_decay}
+
+
+def policy_cfg_file(cfg, policy_id: int) -> str:
+    return join(experiment_dir(cfg), f"policy_{policy_id:02d}_cfg.json")
+
+
+class PopulationBasedTraining:
+    """Host-side PBT observer for the stacked-population runner.
+
+    Call `on_training_step(...)` periodically; it returns a possibly-updated
+    stacked train state.
+    """
+
+    def __init__(self, cfg, num_policies: Optional[int] = None):
+        self.cfg = cfg
+        self.P = num_policies or cfg.num_policies
+        self.hparams_to_tune = set(PBT_HPARAMS) - ({"gamma"} if not cfg.pbt_optimize_gamma else set())
+        if not cfg.pbt_optimize_gamma:
+            self.hparams_to_tune.discard("gamma")
+        self.default_hparams = {name: float(getattr(cfg, name)) for name in PBT_HPARAMS}
+        self.policy_hparams: List[Dict[str, float]] = [dict(self.default_hparams) for _ in range(self.P)]
+        self.last_update = [0] * self.P
+        self.rng = random.Random(cfg.seed)
+
+    # --------------------------------------------------------------- mutation
+
+    def _perturb_param(self, value: float, name: str) -> float:
+        if self.rng.random() > self.cfg.pbt_mutation_rate:
+            return value
+        if value != self.default_hparams[name] and self.rng.random() < 0.01:
+            return self.default_hparams[name]
+        if name in SPECIAL_PERTURBATION:
+            new_value = SPECIAL_PERTURBATION[name](value)
+        else:
+            amount = self.rng.uniform(self.cfg.pbt_perturb_min, self.cfg.pbt_perturb_max)
+            new_value = perturb_float(float(value), amount)
+        log.debug("PBT: %s %.6f -> %.6f", name, value, new_value)
+        return new_value
+
+    def _perturb_hparams(self, hparams: Dict[str, float]) -> Dict[str, float]:
+        out = dict(hparams)
+        for name in self.hparams_to_tune:
+            out[name] = self._perturb_param(out[name], name)
+        return out
+
+    # ------------------------------------------------------------ application
+
+    def _write_hparams_into_state(self, stacked_ts, policy_id: int):
+        hp = self.policy_hparams[policy_id]
+        new_hparams = {
+            name: stacked_ts.hparams[name].at[policy_id].set(hp[name]) for name in stacked_ts.hparams
+        }
+        # constant-LR runs take the mutated learning rate immediately
+        # (reference learner.py:400-406)
+        curr_lr = stacked_ts.curr_lr
+        if self.cfg.lr_schedule == "constant":
+            curr_lr = curr_lr.at[policy_id].set(hp["learning_rate"])
+        return stacked_ts.replace(hparams=new_hparams, curr_lr=curr_lr)
+
+    def _replace_weights(self, stacked_ts, dst: int, src: int):
+        """Copy policy src's weights/optimizer/normalizers into slot dst."""
+        if dst == src:
+            return stacked_ts
+
+        def copy_row(x):
+            return x.at[dst].set(x[src])
+
+        new_params = jax.tree.map(copy_row, stacked_ts.params)
+        new_opt = jax.tree.map(copy_row, stacked_ts.opt_state)
+        new_obs_rms = jax.tree.map(copy_row, stacked_ts.obs_rms) if stacked_ts.obs_rms is not None else None
+        new_ret_rms = jax.tree.map(copy_row, stacked_ts.returns_rms) if stacked_ts.returns_rms is not None else None
+        # invalidate in-flight experience of the replaced policy
+        # (reference learner.py _maybe_load_policy: += max_policy_lag + 1)
+        new_train_step = stacked_ts.train_step.at[dst].set(
+            stacked_ts.train_step[dst] + self.cfg.max_policy_lag + 1
+        )
+        return stacked_ts.replace(
+            params=new_params,
+            opt_state=new_opt,
+            obs_rms=new_obs_rms,
+            returns_rms=new_ret_rms,
+            train_step=new_train_step,
+        )
+
+    def _save_policy_cfg(self, policy_id: int) -> None:
+        with open(policy_cfg_file(self.cfg, policy_id), "w") as f:
+            json.dump(self.policy_hparams[policy_id], f, indent=2)
+
+    # ----------------------------------------------------------------- driver
+
+    def on_training_step(self, stacked_ts, env_steps_per_policy: List[int], objectives: List[Optional[float]]):
+        """objectives: windowed per-policy target metric (true_objective or
+        episode reward). Returns the (possibly updated) stacked train state."""
+        if not self.cfg.with_pbt or self.P <= 1:
+            return stacked_ts
+
+        for policy_id in range(self.P):
+            steps = env_steps_per_policy[policy_id]
+            if steps < self.cfg.pbt_start_mutation:
+                continue
+            if steps - self.last_update[policy_id] < self.cfg.pbt_period_env_steps:
+                continue
+            stacked_ts = self._update_policy(stacked_ts, policy_id, objectives)
+            self.last_update[policy_id] = steps
+        return stacked_ts
+
+    def _update_policy(self, stacked_ts, policy_id: int, objectives: List[Optional[float]]):
+        if any(o is None for o in objectives):
+            return stacked_ts  # not enough data yet (reference :300-306)
+
+        order = sorted(range(self.P), key=lambda p: objectives[p], reverse=True)
+        replace_number = math.ceil(self.cfg.pbt_replace_fraction * self.P)
+        best = order[:replace_number]
+        worst = order[-replace_number:]
+
+        if policy_id in best:
+            return stacked_ts
+
+        replacement = policy_id
+        if policy_id in worst:
+            candidate = self.rng.choice(best)
+            delta = objectives[candidate] - objectives[policy_id]
+            delta_relative = abs(delta / (objectives[candidate] + EPS))
+            if abs(delta) > self.cfg.pbt_replace_reward_gap_absolute and delta_relative > self.cfg.pbt_replace_reward_gap:
+                replacement = candidate
+                log.debug("PBT: policy %d weights replaced by %d (gap %.4f)", policy_id, candidate, delta)
+
+        if policy_id == 0:
+            # never mutate policy 0 (the reference baseline policy, :353-360);
+            # it may still inherit a better policy's parameters wholesale
+            self.policy_hparams[policy_id] = dict(self.policy_hparams[replacement])
+        else:
+            self.policy_hparams[policy_id] = self._perturb_hparams(self.policy_hparams[replacement])
+
+        stacked_ts = self._replace_weights(stacked_ts, policy_id, replacement)
+        stacked_ts = self._write_hparams_into_state(stacked_ts, policy_id)
+        self._save_policy_cfg(policy_id)
+        return stacked_ts

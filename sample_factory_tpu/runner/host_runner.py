@@ -1,0 +1,131 @@
+"""Runner for host (gymnasium) environments: CPU env workers + device learner.
+
+The host analog of `Runner` (see runner.py): rollouts come from
+HostVectorSampler worker processes through SharedMemory slabs; the learner is
+the same fused train step. In async mode (APPO) the train step is dispatched
+without blocking and the next rollout is collected with a stale param snapshot,
+reproducing the reference's policy-lag regime (reference async architecture,
+docs/06-architecture/overview.md).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+
+from sample_factory_tpu.algo.host_sampling import HostVectorSampler
+from sample_factory_tpu.algo.learning import init_train_state, make_train_fn
+from sample_factory_tpu.algo.optimizers import make_optimizer
+from sample_factory_tpu.envs.env_info import obtain_env_info
+from sample_factory_tpu.models.actor_critic import create_actor_critic
+from sample_factory_tpu.runner.checkpoint import load_checkpoint
+from sample_factory_tpu.runner.runner import Runner
+from sample_factory_tpu.runner.stats import SummaryWriter
+from sample_factory_tpu.utils.utils import experiment_dir, init_file_logger, log, save_cfg
+
+
+class HostEnvRunner(Runner):
+    def __init__(self, cfg, register_fn: Optional[Callable] = None):
+        super().__init__(cfg)
+        self.register_fn = register_fn
+        self.sampler: Optional[HostVectorSampler] = None
+        self._train_jit = None
+
+    def init(self) -> None:
+        cfg = self.cfg
+        if cfg.restart_behavior == "overwrite":
+            import shutil
+
+            shutil.rmtree(experiment_dir(cfg, mkdir=False), ignore_errors=True)
+        experiment_dir(cfg)
+        init_file_logger(cfg)
+        save_cfg(cfg)
+        self.writer = SummaryWriter(cfg, self.policy_id)
+
+        self.env_info = obtain_env_info(cfg)
+        assert not self.env_info.is_device_env
+
+        self.model = create_actor_critic(cfg, self.env_info.obs_space, self.env_info.action_space)
+        tx = make_optimizer(cfg)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        k_model, self.key = jax.random.split(self.key)
+
+        self.sampler = HostVectorSampler(cfg, self.env_info, self.model, register_fn=self.register_fn)
+        # keep cfg.num_envs consistent with the actual host vector size
+        cfg.num_envs = self.sampler.num_envs
+        self.sampler.start()
+
+        example_obs = {k: jax.numpy.asarray(v[:2]) for k, v in self.sampler._split_obs(0).items()}
+        train_state = init_train_state(cfg, self.env_info, self.model, tx, k_model, example_obs)
+        restored = load_checkpoint(cfg, self.policy_id, train_state)
+        if restored is not None:
+            train_state, self.env_steps, self.best_performance = restored
+        self.train_state = train_state
+        self.behavior_params = train_state.params
+        self.behavior_version = train_state.train_step
+
+        train_fn = make_train_fn(cfg, self.env_info, self.model, tx, self.policy_id)
+        self._train_jit = jax.jit(train_fn)
+        log.info(
+            "HostEnvRunner: %d workers x %d envs (%d total), serial=%s, async=%s",
+            cfg.num_workers,
+            cfg.num_envs_per_worker,
+            self.sampler.num_envs,
+            cfg.serial_mode,
+            cfg.async_rl,
+        )
+
+    def run(self) -> int:
+        cfg = self.cfg
+        self._start_time = time.time()
+        self._last_report = self._last_checkpoint = self._last_best_check = self._last_milestone = self._start_time
+        transitions_per_iter = self.sampler.num_envs * cfg.rollout
+        frameskip = cfg.env_frameskip if cfg.summaries_use_frameskip else 1
+
+        log.info("Starting training for %d env steps (current: %d)", cfg.train_for_env_steps, self.env_steps)
+        status = 0
+        try:
+            while not self._should_end_training():
+                self.key, k_collect, k_train = jax.random.split(self.key, 3)
+                if cfg.async_rl:
+                    behavior_params, behavior_version = self.behavior_params, self.behavior_version
+                else:
+                    behavior_params, behavior_version = self.train_state.params, self.train_state.train_step
+
+                with self.timing.add_time("rollout"):
+                    traj, ep_stats = self.sampler.collect_rollout(
+                        behavior_params, self.train_state.obs_rms, k_collect,
+                        int(jax.device_get(behavior_version)), self.policy_id,
+                    )
+                with self.timing.add_time("train_dispatch"):
+                    ts, stats = self._train_jit(self.train_state, traj, k_train)
+                self.train_state = ts
+                if cfg.async_rl:
+                    # snapshot for the next rollout: post-update params (1-iter lag;
+                    # dispatch is async, so env stepping overlaps device training)
+                    self.behavior_params = ts.params
+                    self.behavior_version = ts.train_step
+
+                self.env_steps += transitions_per_iter * frameskip
+                self._process_stats(stats, ep_stats)
+                self._periodic_tasks(stats)
+        except KeyboardInterrupt:
+            log.info("Interrupted, saving checkpoint...")
+            status = 1
+        finally:
+            self._save(is_final=True)
+            if self.sampler is not None:
+                self.sampler.close()
+            if self.writer is not None:
+                self.writer.close()
+            log.info("Timing: %s", self.timing.flat_str())
+        log.info("Training finished at %d env steps, avg FPS (5min): %.1f", self.env_steps, self.fps_tracker.fps(300))
+        return status
+
+    def _process_stats(self, stats, ep_stats) -> None:
+        now = time.time()
+        self.fps_tracker.add(now, self.env_steps)
+        self.episode_stats.add_rollout_stats(ep_stats["count"], ep_stats["return_sum"], ep_stats["len_sum"])
+        self._last_stats = stats

@@ -1,0 +1,211 @@
+"""Multi-policy (population) runner: P policies trained jointly on one mesh.
+
+Parity: the reference runs one learner process per policy, each pinned to its
+own GPU (reference `algo/learning/learner_worker.py:44-45`,
+`utils/gpu_utils.py:62-90`) with agent->policy mapping
+(`algo/utils/agent_policy_mapping.py:39-45`: deterministic env_idx % P in sync
+mode). TPU-native design (SURVEY.md §2.3 "population parallelism"): policy
+params are STACKED on a leading axis and the whole population trains as one
+`vmap`ed program — envs are partitioned into P contiguous blocks (the
+deterministic mapping), each block sampled and learned by its policy slot.
+PBT exploit/explore happens on the host between iterations by editing rows of
+the stacked state (see pbt/pbt.py).
+
+Current scope: on-device envs, one agent per env (policy mixing within one
+multi-agent env is a non-batched-path feature, planned next round).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sample_factory_tpu.algo.learning import init_train_state, make_train_fn
+from sample_factory_tpu.algo.optimizers import make_optimizer
+from sample_factory_tpu.algo.sampling import init_sampler_state, make_rollout_fn
+from sample_factory_tpu.envs.device_env import DeviceEnv
+from sample_factory_tpu.envs.env_info import extract_env_info
+from sample_factory_tpu.envs.env_utils import create_env
+from sample_factory_tpu.models.actor_critic import create_actor_critic
+from sample_factory_tpu.pbt.pbt import PopulationBasedTraining
+from sample_factory_tpu.runner.checkpoint import load_checkpoint, save_checkpoint
+from sample_factory_tpu.runner.runner import Runner
+from sample_factory_tpu.runner.stats import EpisodeStats, FpsTracker, SummaryWriter
+from sample_factory_tpu.utils.utils import done_filename, experiment_dir, init_file_logger, log, save_cfg
+
+
+def _unstack(tree, p: int):
+    return jax.tree.map(lambda x: x[p], tree)
+
+
+class MultiPolicyRunner(Runner):
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        self.P = cfg.num_policies
+        self.episode_stats_per_policy: List[EpisodeStats] = [EpisodeStats(cfg.stats_avg) for _ in range(self.P)]
+        self.writers: List[Optional[SummaryWriter]] = [None] * self.P
+        self.pbt: Optional[PopulationBasedTraining] = None
+        self.best_performance_per_policy = [-1e9] * self.P
+
+    def init(self) -> None:
+        cfg = self.cfg
+        if cfg.restart_behavior == "overwrite":
+            import shutil
+
+            shutil.rmtree(experiment_dir(cfg, mkdir=False), ignore_errors=True)
+        experiment_dir(cfg)
+        init_file_logger(cfg)
+        save_cfg(cfg)
+        self.writers = [SummaryWriter(cfg, p) for p in range(self.P)]
+        self.writer = self.writers[0]
+
+        env = create_env(cfg.env, cfg=cfg, env_config=None)
+        assert isinstance(env, DeviceEnv)
+        self.env = env
+        self.env_info = extract_env_info(env, cfg)
+
+        assert cfg.num_envs % self.P == 0, f"num_envs ({cfg.num_envs}) must divide by num_policies ({self.P})"
+        self.envs_per_policy = cfg.num_envs // self.P
+
+        self.model = create_actor_critic(cfg, self.env_info.obs_space, self.env_info.action_space)
+        tx = make_optimizer(cfg)
+
+        self.key = jax.random.PRNGKey(cfg.seed)
+        env_keys = jax.random.split(jax.random.fold_in(self.key, 1), self.P)
+        model_keys = jax.random.split(jax.random.fold_in(self.key, 2), self.P)
+
+        B = self.envs_per_policy
+        self.sampler_state = jax.vmap(lambda k: init_sampler_state(cfg, env, k, B))(env_keys)
+        example_obs = {k: v[0, :2] for k, v in self.sampler_state.obs.items()}
+        self.train_state = jax.vmap(
+            lambda k: init_train_state(cfg, self.env_info, self.model, tx, k, example_obs)
+        )(model_keys)
+
+        # per-policy checkpoint restore
+        template = _unstack(self.train_state, 0)
+        for p in range(self.P):
+            restored = load_checkpoint(cfg, p, template)
+            if restored is not None:
+                ts_p, steps_p, best_p = restored
+                self.train_state = jax.tree.map(
+                    lambda stacked, row: stacked.at[p].set(row), self.train_state, ts_p
+                )
+                self.env_steps = max(self.env_steps, steps_p)
+                self.best_performance_per_policy[p] = best_p
+
+        rollout_fn = make_rollout_fn(cfg, env, self.env_info, self.model)
+        train_fn = make_train_fn(cfg, self.env_info, self.model, tx, 0)
+
+        def one_policy_iteration(ts, ss, key, pid):
+            ss, traj, ep_stats = rollout_fn(ts.params, ts.obs_rms, ss, ts.train_step, pid)
+            ts, stats = train_fn(ts, traj, key, pid)
+            return ts, ss, stats, ep_stats
+
+        self._train_iteration = jax.jit(jax.vmap(one_policy_iteration), donate_argnums=(0, 1))
+        self._policy_ids = jnp.arange(self.P, dtype=jnp.int32)
+
+        if cfg.with_pbt:
+            self.pbt = PopulationBasedTraining(cfg, self.P)
+        log.info(
+            "MultiPolicyRunner: %d policies x %d envs, PBT=%s", self.P, B, bool(cfg.with_pbt)
+        )
+
+    def run(self) -> int:
+        cfg = self.cfg
+        self._start_time = time.time()
+        self._last_report = self._last_checkpoint = self._last_best_check = self._last_milestone = self._start_time
+        transitions_per_iter = cfg.num_envs * cfg.rollout
+        frameskip = cfg.env_frameskip if cfg.summaries_use_frameskip else 1
+
+        log.info("Starting population training for %d env steps", cfg.train_for_env_steps)
+        status = 0
+        try:
+            while not self._should_end_training():
+                self.key, k = jax.random.split(self.key)
+                keys = jax.random.split(k, self.P)
+                ts, ss, stats, ep_stats = self._train_iteration(
+                    self.train_state, self.sampler_state, keys, self._policy_ids
+                )
+                self.train_state, self.sampler_state = ts, ss
+                self.env_steps += transitions_per_iter * frameskip
+                self._process_population_stats(stats, ep_stats)
+
+                if self.pbt is not None:
+                    per_policy_steps = [self.env_steps // self.P] * self.P
+                    objectives = [es.avg_reward for es in self.episode_stats_per_policy]
+                    self.train_state = self.pbt.on_training_step(self.train_state, per_policy_steps, objectives)
+
+                self._periodic_tasks(stats)
+        except KeyboardInterrupt:
+            log.info("Interrupted, saving...")
+            status = 1
+        finally:
+            self._save(is_final=True)
+            for w in self.writers:
+                if w is not None:
+                    w.close()
+            self.writer = None
+        log.info("Population training finished at %d env steps", self.env_steps)
+        return status
+
+    # ------------------------------------------------------------- internals
+
+    def _process_population_stats(self, stats, ep_stats) -> None:
+        now = time.time()
+        self.fps_tracker.add(now, self.env_steps)
+        ep = jax.device_get(ep_stats)
+        for p in range(self.P):
+            self.episode_stats_per_policy[p].add_rollout_stats(
+                float(ep["count"][p]), float(ep["return_sum"][p]), float(ep["len_sum"][p])
+            )
+        self._last_stats = stats
+
+    def _report(self, stats) -> None:
+        host_stats = jax.device_get(stats)
+        fps10 = self.fps_tracker.fps(10)
+        rewards = [es.avg_reward for es in self.episode_stats_per_policy]
+        log.info(
+            "Fps: %.1f. Frames: %d. Per-policy avg rewards: %s",
+            fps10,
+            self.env_steps,
+            ["%.3f" % r if r is not None else "n/a" for r in rewards],
+        )
+        for p in range(self.P):
+            scalars = {k: float(np.asarray(v)[p]) for k, v in host_stats.items()}
+            scalars["fps"] = fps10
+            if rewards[p] is not None:
+                scalars["reward"] = rewards[p]
+            if self.pbt is not None:
+                for name, value in self.pbt.policy_hparams[p].items():
+                    scalars[f"pbt_{name}"] = value
+            self.writers[p].write(self.env_steps, scalars)
+            self.writers[p].flush()
+
+    def _save(self, is_final: bool = False, milestone: bool = False) -> None:
+        for p in range(self.P):
+            save_checkpoint(
+                self.cfg,
+                p,
+                _unstack(self.train_state, p),
+                self.env_steps,
+                self.best_performance_per_policy[p],
+                milestone=milestone,
+            )
+        if is_final:
+            with open(done_filename(self.cfg), "w") as f:
+                f.write(str(self.env_steps))
+
+    def _maybe_save_best(self) -> None:
+        if self.env_steps < self.cfg.save_best_after:
+            return
+        for p in range(self.P):
+            metric = self.episode_stats_per_policy[p].avg_reward
+            if metric is not None and metric - self.best_performance_per_policy[p] > 1e-9:
+                self.best_performance_per_policy[p] = metric
+                save_checkpoint(
+                    self.cfg, p, _unstack(self.train_state, p), self.env_steps, metric, is_best=True
+                )

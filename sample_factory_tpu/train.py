@@ -13,7 +13,7 @@ from sample_factory_tpu.runner.runner import Runner, make_runner
 from sample_factory_tpu.utils.utils import cfg_file, log
 
 
-def run_rl(cfg) -> int:
+def run_rl(cfg, register_fn=None) -> int:
     if cfg.restart_behavior == "resume" and os.path.isfile(cfg_file(cfg)):
         cfg = maybe_load_from_checkpoint(cfg)
     elif cfg.restart_behavior == "restart" and os.path.isfile(cfg_file(cfg)):
@@ -28,7 +28,20 @@ def run_rl(cfg) -> int:
 
         jax.distributed.initialize()
 
-    runner = make_runner(cfg)
+    from sample_factory_tpu.envs.env_info import obtain_env_info
+
+    env_info = obtain_env_info(cfg)
+    if env_info.is_device_env:
+        if cfg.num_policies > 1:
+            from sample_factory_tpu.runner.multi_policy_runner import MultiPolicyRunner
+
+            runner = MultiPolicyRunner(cfg)
+        else:
+            runner = Runner(cfg)
+    else:
+        from sample_factory_tpu.runner.host_runner import HostEnvRunner
+
+        runner = HostEnvRunner(cfg, register_fn=register_fn)
     runner.init()
     status = runner.run()
     return status
