@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -81,7 +82,7 @@ def main() -> int:
     rollout_fn = make_rollout_fn(cfg, env, env_info, model)
     train_fn = make_train_fn(cfg, env_info, model, tx, 0)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_iteration(ts, ss, key):
         ss, traj, ep_stats = rollout_fn(ts.params, ts.obs_rms, ss, ts.train_step, 0)
         ts, stats = train_fn(ts, traj, key)

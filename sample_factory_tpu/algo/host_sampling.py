@@ -398,7 +398,7 @@ class HostVectorSampler:
         def policy_step(params, obs_rms, obs, rnn_state, key):
             normalized = obs_rms_normalize(obs_rms, _static_preprocess(cfg, obs)) if obs_rms is not None else _static_preprocess(cfg, obs)
             action_params, values, new_rnn = model.apply(params, normalized, rnn_state)
-            dist = get_action_distribution(env_info.action_space, action_params)
+            dist = get_action_distribution(env_info.action_space, action_params, obs.get("action_mask"))
             actions, log_probs = sample_actions_log_probs(dist, key)
             return actions.astype(a_dtype), log_probs, action_params, values, new_rnn
 

@@ -129,6 +129,8 @@ def obs_rms_init(obs_space, keys_to_normalize: Optional[Sequence[str]] = None, *
     spec = obs_space_as_dict(obs_space)
     out: ObsRmsState = {}
     for k, space in spec.items():
+        if k == "action_mask":
+            continue  # masks feed the action distribution, never normalized
         if keys_to_normalize is None or k in keys_to_normalize:
             out[k] = rms_init(space.shape, **kwargs)
     return out

@@ -77,7 +77,9 @@ def make_rollout_fn(cfg, env: DeviceEnv, env_info, model) -> Callable:
     def policy_step(params, obs_rms, obs, rnn_state, key):
         normalized_obs = obs_rms_normalize(obs_rms, _static_preprocess(cfg, obs)) if obs_rms is not None else _static_preprocess(cfg, obs)
         action_params, values, new_rnn = model.apply(params, normalized_obs, rnn_state)
-        dist = get_action_distribution(action_space, action_params)
+        # optional action masking: the env publishes a mask under obs['action_mask']
+        # (reference CategoricalActionDistribution action_mask support)
+        dist = get_action_distribution(action_space, action_params, obs.get("action_mask"))
         actions, log_probs = sample_actions_log_probs(dist, key)
         return actions.astype(a_dtype), log_probs, action_params, values, new_rnn
 

@@ -31,14 +31,20 @@ from sample_factory_tpu.runner.checkpoint import load_checkpoint
 from sample_factory_tpu.utils.utils import log
 
 
-def enjoy(cfg, num_episodes: Optional[int] = None, num_envs: int = 16) -> Tuple[int, float]:
-    """Returns (status, avg_episode_reward)."""
+def enjoy(cfg, num_episodes: Optional[int] = None, num_envs: int = 16, collect_episodes: Optional[list] = None) -> Tuple[int, float]:
+    """Returns (status, avg_episode_reward). If collect_episodes is a list, it
+    is filled with per-episode (reward, length) tuples. Dispatches to the
+    host-env loop for gymnasium envs."""
     cfg = load_from_checkpoint(cfg)
     eval_deterministic = cfg.eval_deterministic
     max_episodes = num_episodes if num_episodes is not None else min(cfg.max_num_episodes, 100)
 
-    env = create_env(cfg.env, cfg=cfg, env_config=None, render_mode=None)
-    assert isinstance(env, DeviceEnv), "enjoy() currently supports on-device envs; host envs use enjoy_host()"
+    probe = create_env(cfg.env, cfg=cfg, env_config=None, render_mode=None)
+    if not isinstance(probe, DeviceEnv):
+        if hasattr(probe, "close"):
+            probe.close()
+        return enjoy_host(cfg, max_episodes, collect_episodes)
+    env = probe
     env_info = extract_env_info(env, cfg)
     model = create_actor_critic(cfg, env_info.obs_space, env_info.action_space)
     tx = make_optimizer(cfg)
@@ -73,7 +79,9 @@ def enjoy(cfg, num_episodes: Optional[int] = None, num_envs: int = 16) -> Tuple[
         done_f = dones.astype(jnp.float32)
         ep_return = ss.ep_return + rewards
         ep_len = ss.ep_len + 1.0
-        completed = (jnp.sum(done_f), jnp.sum(done_f * ep_return), jnp.sum(done_f * ep_len))
+        # per-env done mask + final return/len so the host can extract
+        # individual episodes (for eval CSVs and stats windows)
+        completed = (done_f, ep_return, ep_len)
         new_rnn = jnp.where(done_f[:, None] > 0, jnp.zeros_like(new_rnn), new_rnn)
         ss = ss.replace(
             env_states=env_states,
@@ -88,10 +96,15 @@ def enjoy(cfg, num_episodes: Optional[int] = None, num_envs: int = 16) -> Tuple[
     start = time.time()
     while episodes < max_episodes and frames < cfg.max_num_frames:
         key, k = jax.random.split(key)
-        ss, (count, ret_sum, l_sum) = eval_step(ts.params, ts.obs_rms, ss, k)
-        episodes += int(count)
-        reward_sum += float(ret_sum)
-        len_sum += float(l_sum)
+        ss, (done_mask, ep_returns, ep_lens) = eval_step(ts.params, ts.obs_rms, ss, k)
+        done_np = np.asarray(done_mask) > 0
+        rets = np.asarray(ep_returns)[done_np]
+        lens = np.asarray(ep_lens)[done_np]
+        episodes += int(done_np.sum())
+        reward_sum += float(rets.sum())
+        len_sum += float(lens.sum())
+        if collect_episodes is not None:
+            collect_episodes.extend(zip(rets.tolist(), lens.astype(int).tolist()))
         frames += num_envs
         if time.time() - start > 600:
             log.warning("Evaluation timed out")
@@ -100,4 +113,121 @@ def enjoy(cfg, num_episodes: Optional[int] = None, num_envs: int = 16) -> Tuple[
     avg_reward = reward_sum / max(1, episodes)
     avg_len = len_sum / max(1, episodes)
     log.info("Avg episode reward: %.3f, avg episode len: %.1f over %d episodes", avg_reward, avg_len, episodes)
+    return 0, avg_reward
+
+
+def enjoy_host(cfg, max_episodes: int, collect_episodes: Optional[list] = None) -> Tuple[int, float]:
+    """Single host (gymnasium) env visualization/eval loop.
+
+    Parity: reference enjoy.py:103-292 — render or record video, optional
+    deterministic argmax, frameskip-compensating action repeat at eval time.
+    """
+    from sample_factory_tpu.algo.running_mean_std import obs_rms_normalize as _norm
+    from sample_factory_tpu.envs.env_info import extract_env_info
+    from sample_factory_tpu.envs.gym_wrappers import wrap_host_env
+    from sample_factory_tpu.models.actor_critic import initial_actor_critic_state
+
+    render_mode = None
+    if cfg.save_video:
+        render_mode = "rgb_array"
+    elif not cfg.no_render:
+        render_mode = "human"
+
+    # eval-time frameskip override: repeat each policy action so the effective
+    # frameskip matches training (reference enjoy.py:108-114)
+    train_frameskip = cfg.env_frameskip
+    if cfg.eval_env_frameskip is not None:
+        cfg.env_frameskip = cfg.eval_env_frameskip
+    render_action_repeat = max(1, train_frameskip // max(1, cfg.env_frameskip))
+
+    env = wrap_host_env(create_env(cfg.env, cfg=cfg, env_config=None, render_mode=render_mode), cfg)
+    env_info = extract_env_info(env, cfg)
+    model = create_actor_critic(cfg, env_info.obs_space, env_info.action_space)
+    tx = make_optimizer(cfg)
+
+    key = jax.random.PRNGKey(cfg.seed or 0)
+    k_model, key = jax.random.split(key)
+    obs, _ = env.reset(seed=cfg.seed)
+    example_obs = {k: jnp.asarray(v)[None] for k, v in obs.items()}
+    ts = init_train_state(cfg, env_info, model, tx, k_model, example_obs)
+    restored = load_checkpoint(cfg, cfg.policy_index, ts)
+    if restored is None:
+        log.error("No checkpoint found for policy %d", cfg.policy_index)
+        return 1, 0.0
+    ts, env_steps, _ = restored
+    log.info("Evaluating checkpoint at %d env steps", env_steps)
+
+    a_dtype = jnp.int32 if action_dtype(env_info.action_space) == "int32" else jnp.float32
+
+    @jax.jit
+    def policy_step(params, obs_rms, obs, rnn_state, key):
+        normalized = _norm(obs_rms, _static_preprocess(cfg, obs)) if obs_rms is not None else _static_preprocess(cfg, obs)
+        action_params, values, new_rnn = model.apply(params, normalized, rnn_state)
+        dist = get_action_distribution(env_info.action_space, action_params, obs.get("action_mask"))
+        if cfg.eval_deterministic:
+            actions = argmax_actions(dist)
+        else:
+            actions = dist.sample(key)
+        return actions.astype(a_dtype), new_rnn
+
+    rnn = initial_actor_critic_state(cfg, 1)
+    frames = []
+    episodes, reward_sum, len_sum = 0, 0.0, 0.0
+    ep_reward, ep_len, total_frames = 0.0, 0, 0
+    fps_delay = 1.0 / cfg.fps if cfg.fps > 0 else 0.0
+
+    while episodes < max_episodes and total_frames < cfg.max_num_frames:
+        obs_dev = {k: jnp.asarray(v)[None] for k, v in obs.items()}
+        key, k = jax.random.split(key)
+        actions, rnn = policy_step(ts.params, ts.obs_rms, obs_dev, rnn, k)
+        a = np.asarray(actions)[0]
+        if a.shape[0] == 1 and np.issubdtype(a.dtype, np.integer):
+            a = int(a[0])
+
+        done = False
+        for _ in range(render_action_repeat):
+            obs, reward, terminated, truncated, info = env.step(a)
+            ep_reward += float(reward)
+            ep_len += 1
+            total_frames += 1
+            if render_mode == "rgb_array" and len(frames) < cfg.video_frames:
+                frames.append(env.render())
+            elif render_mode == "human":
+                env.render()
+                if fps_delay:
+                    time.sleep(fps_delay)
+            done = terminated or truncated
+            if done:
+                break
+
+        if done:
+            episodes += 1
+            reward_sum += ep_reward
+            len_sum += ep_len
+            if collect_episodes is not None:
+                collect_episodes.append((ep_reward, ep_len))
+            log.info("Episode %d: reward %.3f, length %d", episodes, ep_reward, ep_len)
+            ep_reward, ep_len = 0.0, 0
+            rnn = initial_actor_critic_state(cfg, 1)
+            obs, _ = env.reset()
+
+    env.close()
+    avg_reward = reward_sum / max(1, episodes)
+    log.info("Avg episode reward: %.3f over %d episodes", avg_reward, episodes)
+
+    if cfg.save_video and frames:
+        from sample_factory_tpu.hub.huggingface_hub_utils import generate_replay_video
+        from sample_factory_tpu.utils.utils import experiment_dir
+
+        video_fps = cfg.fps if cfg.fps > 0 else 30
+        generate_replay_video(experiment_dir(cfg), frames, video_fps, cfg)
+
+    if cfg.push_to_hub and cfg.hf_repository:
+        from sample_factory_tpu.hub.huggingface_hub_utils import generate_model_card, push_to_hf
+        from sample_factory_tpu.utils.utils import experiment_dir
+
+        rewards = [r for r, _ in (collect_episodes or [])] or [avg_reward]
+        generate_model_card(experiment_dir(cfg), cfg.algo, cfg.env, cfg.hf_repository, rewards)
+        push_to_hf(experiment_dir(cfg), cfg.hf_repository)
+
     return 0, avg_reward

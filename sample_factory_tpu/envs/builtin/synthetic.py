@@ -113,6 +113,27 @@ class SyntheticTupleActionEnv(DeviceEnv):
         return self._obs(key), {"steps": steps}, reward.astype(jnp.float32), terminated, truncated, {}
 
 
+class SyntheticMaskedEnv(SyntheticVectorDiscreteEnv):
+    """Discrete env with action masking: the top action is masked out half the
+    time, so the optimal masked policy picks the second-best. Exercises the
+    action_mask path end to end."""
+
+    def __init__(self, num_actions: int = 6, episode_len: int = 16, dim: int = 8):
+        super().__init__(num_actions=num_actions, episode_len=episode_len, dim=dim)
+        from sample_factory_tpu.envs.spaces import make_dict_spec
+
+        self.obs_space = make_dict_spec(
+            {"obs": Box((dim,), 0.0, 1.0), "action_mask": Box((num_actions,), 0.0, 1.0)}
+        )
+
+    def _obs(self, key):
+        k1, k2 = jax.random.split(key)
+        mask = jnp.ones(self.num_actions)
+        top_masked = jax.random.bernoulli(k2, 0.5)
+        mask = mask.at[self.num_actions - 1].set(jnp.where(top_masked, 0.0, 1.0))
+        return {"obs": jax.random.uniform(k1, (self.dim,)), "action_mask": mask}
+
+
 def make_synthetic_env(full_env_name: str, cfg=None, env_config=None, render_mode: Optional[str] = None):
     num_actions = getattr(cfg, "custom_env_num_actions", 10) if cfg is not None else 10
     episode_len = getattr(cfg, "custom_env_episode_len", 16) if cfg is not None else 16
@@ -124,4 +145,6 @@ def make_synthetic_env(full_env_name: str, cfg=None, env_config=None, render_mod
         return SyntheticContinuousEnv(episode_len=episode_len)
     if full_env_name == "synthetic_tuple":
         return SyntheticTupleActionEnv(episode_len=episode_len)
+    if full_env_name == "synthetic_masked":
+        return SyntheticMaskedEnv(episode_len=episode_len)
     raise ValueError(f"Unknown synthetic env {full_env_name}")

@@ -26,11 +26,11 @@ from sample_factory_tpu.utils.utils import experiment_dir, log
 def _eval_device_env(cfg, num_episodes: int) -> List[Tuple[float, int]]:
     from sample_factory_tpu.enjoy import enjoy  # device-env eval loop
 
-    # enjoy() aggregates; for per-episode rows we run its jitted step directly
-    status, avg = enjoy(cfg, num_episodes=num_episodes, num_envs=64)
+    episodes: List[Tuple[float, int]] = []
+    status, _ = enjoy(cfg, num_episodes=num_episodes, num_envs=64, collect_episodes=episodes)
     if status != 0:
         raise RuntimeError("evaluation failed")
-    return [(avg, -1)] * 0 or [(avg, -1)]  # aggregate only; device path records the mean
+    return episodes[:num_episodes]
 
 
 def _eval_host_env(cfg, num_episodes: int, register_fn=None) -> List[Tuple[float, int]]:

@@ -130,6 +130,10 @@ class MultiInputEncoder(nn.Module):
     def __call__(self, obs_dict: Dict[str, jnp.ndarray]):
         encodings = []
         for key in sorted(self.obs_space.keys()):
+            if key == "action_mask":
+                # convention: the action mask rides in the obs dict but feeds
+                # the action distribution, not the encoder
+                continue
             shape = self.obs_space[key].shape
             if len(shape) == 1:
                 enc = MlpEncoder(self.cfg, dtype=self.dtype, name=f"enc_{key}")

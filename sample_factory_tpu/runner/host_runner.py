@@ -44,6 +44,10 @@ class HostEnvRunner(Runner):
         save_cfg(cfg)
         self.writer = SummaryWriter(cfg, self.policy_id)
 
+        from sample_factory_tpu.utils.wandb_utils import init_wandb
+
+        init_wandb(cfg)
+
         self.env_info = obtain_env_info(cfg)
         assert not self.env_info.is_device_env
 
@@ -111,6 +115,7 @@ class HostEnvRunner(Runner):
                 self.env_steps += transitions_per_iter * frameskip
                 self._process_stats(stats, ep_stats)
                 self._periodic_tasks(stats)
+                self._notify_observers(stats)
         except KeyboardInterrupt:
             log.info("Interrupted, saving checkpoint...")
             status = 1

@@ -63,6 +63,10 @@ class MultiPolicyRunner(Runner):
         self.writers = [SummaryWriter(cfg, p) for p in range(self.P)]
         self.writer = self.writers[0]
 
+        from sample_factory_tpu.utils.wandb_utils import init_wandb
+
+        init_wandb(cfg)
+
         env = create_env(cfg.env, cfg=cfg, env_config=None)
         assert isinstance(env, DeviceEnv)
         self.env = env
@@ -140,6 +144,7 @@ class MultiPolicyRunner(Runner):
                     self.train_state = self.pbt.on_training_step(self.train_state, per_policy_steps, objectives)
 
                 self._periodic_tasks(stats)
+                self._notify_observers(stats)
         except KeyboardInterrupt:
             log.info("Interrupted, saving...")
             status = 1

@@ -46,6 +46,19 @@ from sample_factory_tpu.utils.utils import (
 )
 
 
+class AlgoObserver:
+    """User extension hooks on the training loop (reference runner.py:52-73)."""
+
+    def on_init(self, runner) -> None:
+        pass
+
+    def on_training_iteration(self, runner, stats) -> None:
+        """Called after every training iteration (stats are device arrays)."""
+
+    def on_stop(self, runner) -> None:
+        pass
+
+
 class Runner:
     """Single-policy on-device training runner (multi-policy: see MultiPolicyRunner)."""
 
@@ -53,6 +66,7 @@ class Runner:
         self.cfg = cfg
         self.policy_id = 0
         self.timing = Timing("runner")
+        self.observers: list = []
 
         self.env: Optional[DeviceEnv] = None
         self.env_info: Optional[EnvInfo] = None
@@ -93,6 +107,10 @@ class Runner:
         init_file_logger(cfg)
         save_cfg(cfg)
         self.writer = SummaryWriter(cfg, self.policy_id)
+
+        from sample_factory_tpu.utils.wandb_utils import init_wandb
+
+        init_wandb(cfg)
 
         env = create_env(cfg.env, cfg=cfg, env_config=None)
         assert isinstance(env, DeviceEnv), (
@@ -186,6 +204,7 @@ class Runner:
                 self.env_steps += transitions_per_iter * frameskip
                 self._process_stats(stats, ep_stats)
                 self._periodic_tasks(stats)
+                self._notify_observers(stats)
         except KeyboardInterrupt:
             log.info("Interrupted, saving checkpoint...")
             status = 1
@@ -200,6 +219,13 @@ class Runner:
 
     def stop(self) -> None:
         self._stop_requested = True
+
+    def register_observer(self, observer: AlgoObserver) -> None:
+        self.observers.append(observer)
+
+    def _notify_observers(self, stats) -> None:
+        for obs in self.observers:
+            obs.on_training_iteration(self, stats)
 
     # ------------------------------------------------------------- internals
 
