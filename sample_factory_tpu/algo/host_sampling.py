@@ -50,7 +50,8 @@ class ShmSlabs:
         self.cfg = cfg
         W = cfg.num_workers
         K = cfg.worker_num_splits
-        E = cfg.num_envs_per_worker // K
+        A = env_info.num_agents
+        E = (cfg.num_envs_per_worker // K) * A  # agent-slots per split
         self.shape_prefix = (W, K, E)
 
         obs_spec = obs_space_as_dict(env_info.obs_space)
@@ -62,6 +63,9 @@ class ShmSlabs:
         self._specs["rewards"] = (self.shape_prefix, np.dtype(np.float32))
         self._specs["terminated"] = (self.shape_prefix, np.dtype(np.bool_))
         self._specs["truncated"] = (self.shape_prefix, np.dtype(np.bool_))
+        # multi-agent: inactive agents are masked out of training
+        # (reference non_batched_sampling.py:82-84 is_active handling)
+        self._specs["active"] = (self.shape_prefix, np.dtype(np.bool_))
 
         self._prefix = name_prefix or f"sftpu_{os.getpid()}_{int(time.time() * 1e6) % 10**9}"
         self._shms: Dict[str, shared_memory.SharedMemory] = {}
@@ -108,6 +112,127 @@ class ShmSlabs:
 # ------------------------------------------------------------------- worker
 
 
+class EnvSlotStepper:
+    """Owns one worker's envs and maps them onto agent-slots in the slabs.
+
+    Single-agent envs occupy one slot each; multi-agent envs (reference
+    convention: env.num_agents > 1, step(list) -> lists, infos carry
+    'is_active') occupy num_agents consecutive slots. Inactive agents are
+    recorded in the 'active' slab so the learner masks them
+    (reference non_batched_sampling.py:82-84,197-203).
+    """
+
+    def __init__(self, cfg, env_info, slabs: "ShmSlabs", worker_idx: int):
+        self.cfg = cfg
+        self.slabs = slabs
+        self.w = worker_idx
+        self.K = cfg.worker_num_splits
+        self.A = env_info.num_agents
+        self.E = cfg.num_envs_per_worker // self.K  # envs per split
+        self.multiagent = self.A > 1
+        self.envs: List[List[Any]] = []
+        slots = self.E * self.A
+        self.ep_returns = np.zeros((self.K, slots), np.float64)
+        self.ep_lens = np.zeros((self.K, slots), np.int64)
+        self.obs_keys = [k for k in slabs.arrays if k.startswith("obs_")]
+
+    def create_envs(self) -> None:
+        from sample_factory_tpu.envs.env_utils import create_env
+        from sample_factory_tpu.envs.gym_wrappers import wrap_host_env
+
+        for s in range(self.K):
+            row = []
+            for e in range(self.E):
+                env_id = self.w * self.cfg.num_envs_per_worker + s * self.E + e
+                env_config = AttrDict(worker_index=self.w, vector_index=s * self.E + e, env_id=env_id)
+                env = create_env(self.cfg.env, cfg=self.cfg, env_config=env_config)
+                if not getattr(env, "is_multiagent", False):
+                    env = wrap_host_env(env, self.cfg)
+                row.append(env)
+            self.envs.append(row)
+
+    def _write_obs(self, s: int, slot: int, obs: Dict[str, np.ndarray]) -> None:
+        for k in self.obs_keys:
+            self.slabs.arrays[k][self.w, s, slot] = obs[k[4:]]
+
+    def _wrap_ma_obs(self, obs):
+        # multi-agent envs return raw per-agent obs (dict or array)
+        return obs if isinstance(obs, dict) else {"obs": obs}
+
+    def reset_all(self) -> None:
+        self.slabs.arrays["active"][self.w] = True
+        for s in range(self.K):
+            for e in range(self.E):
+                seed = self.cfg.seed + self.w * 10007 + s * 101 + e
+                if self.multiagent:
+                    obs_list, _ = self.envs[s][e].reset(seed=seed)
+                    for a in range(self.A):
+                        self._write_obs(s, e * self.A + a, self._wrap_ma_obs(obs_list[a]))
+                else:
+                    obs, _ = self.envs[s][e].reset(seed=seed)
+                    self._write_obs(s, e, obs)
+
+    def step_split(self, split: int) -> List[Tuple[float, int]]:
+        """Step all envs of a split using the actions slab; returns completed
+        episodes as (return, length) tuples."""
+        arrays = self.slabs.arrays
+        actions = arrays["actions"][self.w, split]
+        completed: List[Tuple[float, int]] = []
+        for e in range(self.E):
+            env = self.envs[split][e]
+            if self.multiagent:
+                acts = []
+                for a in range(self.A):
+                    act = actions[e * self.A + a]
+                    if act.shape[0] == 1 and np.issubdtype(act.dtype, np.integer):
+                        act = int(act[0])
+                    acts.append(act)
+                obs_list, rewards, terms, truncs, infos = env.step(acts)
+                all_done = all(bool(t) or bool(tr) for t, tr in zip(terms, truncs))
+                for a in range(self.A):
+                    slot = e * self.A + a
+                    self.ep_returns[split, slot] += rewards[a]
+                    self.ep_lens[split, slot] += 1
+                    arrays["rewards"][self.w, split, slot] = rewards[a]
+                    arrays["terminated"][self.w, split, slot] = terms[a]
+                    arrays["truncated"][self.w, split, slot] = truncs[a]
+                    arrays["active"][self.w, split, slot] = infos[a].get("is_active", True)
+                if all_done:
+                    for a in range(self.A):
+                        slot = e * self.A + a
+                        completed.append((float(self.ep_returns[split, slot]), int(self.ep_lens[split, slot])))
+                        self.ep_returns[split, slot] = 0.0
+                        self.ep_lens[split, slot] = 0
+                    obs_list, _ = env.reset()
+                for a in range(self.A):
+                    self._write_obs(split, e * self.A + a, self._wrap_ma_obs(obs_list[a]))
+            else:
+                a = actions[e]
+                if a.shape[0] == 1 and np.issubdtype(a.dtype, np.integer):
+                    a = int(a[0])
+                obs, reward, terminated, truncated, info = env.step(a)
+                self.ep_returns[split, e] += reward
+                self.ep_lens[split, e] += 1
+                if terminated or truncated:
+                    completed.append((float(self.ep_returns[split, e]), int(self.ep_lens[split, e])))
+                    self.ep_returns[split, e] = 0.0
+                    self.ep_lens[split, e] = 0
+                    obs, _ = env.reset()
+                arrays["rewards"][self.w, split, e] = reward
+                arrays["terminated"][self.w, split, e] = terminated
+                arrays["truncated"][self.w, split, e] = truncated
+                self._write_obs(split, e, obs)
+        return completed
+
+    def close(self) -> None:
+        for row in self.envs:
+            for env in row:
+                try:
+                    env.close()
+                except Exception:  # noqa: BLE001
+                    pass
+
+
 def _apply_cpu_affinity(cfg, worker_idx: int) -> None:
     """Pin the worker to a core range (reference utils.py:471-500)."""
     if not cfg.set_workers_cpu_affinity:
@@ -145,71 +270,21 @@ def host_env_worker(worker_idx: int, cfg, env_info, slabs_spec, cmd_conn, res_co
             register_fn = pickle.loads(register_fn_pickled)
             register_fn()
 
-        from sample_factory_tpu.envs.env_utils import create_env
-        from sample_factory_tpu.envs.gym_wrappers import wrap_host_env
-
-        K = cfg.worker_num_splits
-        E = cfg.num_envs_per_worker // K
         slabs = ShmSlabs.attach(cfg, env_info, slabs_spec)
-
-        envs: List[List[Any]] = []
-        ep_returns = np.zeros((K, E), np.float64)
-        ep_lens = np.zeros((K, E), np.int64)
-        for s in range(K):
-            row = []
-            for e in range(E):
-                env_id = worker_idx * cfg.num_envs_per_worker + s * E + e
-                env_config = AttrDict(worker_index=worker_idx, vector_index=s * E + e, env_id=env_id)
-                env = create_env(cfg.env, cfg=cfg, env_config=env_config)
-                env = wrap_host_env(env, cfg)
-                row.append(env)
-            envs.append(row)
-
-        obs_keys = [k for k in slabs.arrays if k.startswith("obs_")]
-
-        def write_obs(s: int, e: int, obs: Dict[str, np.ndarray]) -> None:
-            for k in obs_keys:
-                slabs.arrays[k][worker_idx, s, e] = obs[k[4:]]
-
-        # initial reset (decorrelation: different seeds per env)
-        for s in range(K):
-            for e in range(E):
-                obs, _ = envs[s][e].reset(seed=cfg.seed + worker_idx * 10007 + s * 101 + e)
-                write_obs(s, e, obs)
+        stepper = EnvSlotStepper(cfg, env_info, slabs, worker_idx)
+        stepper.create_envs()
+        stepper.reset_all()
         send_res(("initialized", None, None))
 
         while True:
             msg = recv_cmd()
             if msg[0] == "step":
                 split = msg[1]
-                actions = slabs.arrays["actions"][worker_idx, split]
-                completed = []
-                for e in range(E):
-                    env = envs[split][e]
-                    a = actions[e]
-                    if a.shape[0] == 1 and np.issubdtype(a.dtype, np.integer):
-                        a = int(a[0])
-                    obs, reward, terminated, truncated, info = env.step(a)
-                    ep_returns[split, e] += reward
-                    ep_lens[split, e] += 1
-                    if terminated or truncated:
-                        completed.append((float(ep_returns[split, e]), int(ep_lens[split, e])))
-                        ep_returns[split, e] = 0.0
-                        ep_lens[split, e] = 0
-                        obs, _ = env.reset()
-                    slabs.arrays["rewards"][worker_idx, split, e] = reward
-                    slabs.arrays["terminated"][worker_idx, split, e] = terminated
-                    slabs.arrays["truncated"][worker_idx, split, e] = truncated
-                    write_obs(split, e, obs)
+                completed = stepper.step_split(split)
                 send_res(("ready", split, completed))
             elif msg[0] == "close":
                 break
-        for row in envs:
-            for env in row:
-                try:
-                    env.close()
-                except Exception:  # noqa: BLE001
-                    pass
+        stepper.close()
         slabs.close()
         send_res(("closed", None, None))
     except KeyboardInterrupt:
@@ -239,9 +314,10 @@ class HostVectorSampler:
         self.W = cfg.num_workers
         self.K = cfg.worker_num_splits
         assert cfg.num_envs_per_worker % self.K == 0, "num_envs_per_worker must divide by worker_num_splits"
-        self.E = cfg.num_envs_per_worker // self.K
-        self.num_envs = self.W * self.K * self.E
-        self.split_size = self.W * self.E  # envs per split across all workers
+        self.A = env_info.num_agents
+        self.E = (cfg.num_envs_per_worker // self.K) * self.A  # agent-slots per worker-split
+        self.num_envs = self.W * self.K * self.E  # total agent-slots (transitions per step)
+        self.split_size = self.W * self.E  # slots per split across all workers
 
         self.slabs = ShmSlabs(cfg, env_info, create=True)
         self.workers: List[mp.Process] = []
@@ -257,6 +333,7 @@ class HostVectorSampler:
         self.rnn_states = [initial_actor_critic_state(cfg, self.split_size) for _ in range(self.K)]
 
         self._policy_step = self._build_policy_step()
+        self._policy_step_multi = self._build_policy_step_multi()
         self.episodic: List[Tuple[float, int]] = []
 
     # ------------------------------------------------------------- lifecycle
@@ -340,35 +417,18 @@ class HostVectorSampler:
         return out
 
     def _start_serial(self) -> None:
-        from sample_factory_tpu.envs.env_utils import create_env
-        from sample_factory_tpu.envs.gym_wrappers import wrap_host_env
-
-        self.serial_envs = []
-        self._serial_ep_stats = (np.zeros((self.W, self.K, self.E)), np.zeros((self.W, self.K, self.E), np.int64))
+        self.serial_steppers = []
         for w in range(self.W):
-            rows = []
-            for s in range(self.K):
-                row = []
-                for e in range(self.E):
-                    env_id = w * self.cfg.num_envs_per_worker + s * self.E + e
-                    env_config = AttrDict(worker_index=w, vector_index=s * self.E + e, env_id=env_id)
-                    env = wrap_host_env(create_env(self.cfg.env, cfg=self.cfg, env_config=env_config), self.cfg)
-                    obs, _ = env.reset(seed=self.cfg.seed + env_id)
-                    for k, v in obs.items():
-                        self.slabs.arrays[f"obs_{k}"][w, s, e] = v
-                    row.append(env)
-                rows.append(row)
-            self.serial_envs.append(rows)
+            stepper = EnvSlotStepper(self.cfg, self.env_info, self.slabs, w)
+            stepper.create_envs()
+            stepper.reset_all()
+            self.serial_steppers.append(stepper)
+        self.serial_envs = True  # marker: serial mode active
 
     def close(self) -> None:
         if self.serial_envs is not None:
-            for rows in self.serial_envs:
-                for row in rows:
-                    for env in row:
-                        try:
-                            env.close()
-                        except Exception:  # noqa: BLE001
-                            pass
+            for stepper in self.serial_steppers:
+                stepper.close()
         else:
             for conn in self.cmd_conns:
                 try:
@@ -391,7 +451,7 @@ class HostVectorSampler:
 
     # ------------------------------------------------------------- stepping
 
-    def _build_policy_step(self):
+    def _policy_step_fn(self):
         cfg, env_info, model = self.cfg, self.env_info, self.model
         a_dtype = jnp.int32 if action_dtype(env_info.action_space) == "int32" else jnp.float32
 
@@ -402,7 +462,10 @@ class HostVectorSampler:
             actions, log_probs = sample_actions_log_probs(dist, key)
             return actions.astype(a_dtype), log_probs, action_params, values, new_rnn
 
-        return jax.jit(policy_step)
+        return policy_step
+
+    def _build_policy_step(self):
+        return jax.jit(self._policy_step_fn())
 
     def _split_obs(self, split: int) -> Dict[str, np.ndarray]:
         out = {}
@@ -442,35 +505,20 @@ class HostVectorSampler:
         self._ready_counts[split] -= self.W
 
     def _serial_step(self, split: int) -> None:
-        ep_ret, ep_len = self._serial_ep_stats
-        for w in range(self.W):
-            actions = self.slabs.arrays["actions"][w, split]
-            for e in range(self.E):
-                env = self.serial_envs[w][split][e]
-                a = actions[e]
-                if a.shape[0] == 1 and np.issubdtype(a.dtype, np.integer):
-                    a = int(a[0])
-                obs, reward, terminated, truncated, info = env.step(a)
-                ep_ret[w, split, e] += reward
-                ep_len[w, split, e] += 1
-                if terminated or truncated:
-                    self.episodic.append((float(ep_ret[w, split, e]), int(ep_len[w, split, e])))
-                    ep_ret[w, split, e] = 0.0
-                    ep_len[w, split, e] = 0
-                    obs, _ = env.reset()
-                self.slabs.arrays["rewards"][w, split, e] = reward
-                self.slabs.arrays["terminated"][w, split, e] = terminated
-                self.slabs.arrays["truncated"][w, split, e] = truncated
-                for k, v in obs.items():
-                    self.slabs.arrays[f"obs_{k}"][w, split, e] = v
+        for stepper in self.serial_steppers:
+            self.episodic.extend(stepper.step_split(split))
 
     # ------------------------------------------------------ rollout assembly
 
-    def collect_rollout(self, params, obs_rms, key, policy_version: int, policy_id: int = 0):
+    def collect_rollout(self, params, obs_rms, key, policy_version, policy_id: int = 0, slot_policies=None):
         """Collect cfg.rollout steps from all envs. Returns (trajectory, stats).
 
         Per timestep, splits are processed round-robin: while split s's envs
         step on CPU workers, the device runs inference for split s+1.
+
+        Multi-policy self-play: pass STACKED params/obs_rms (leading policy
+        axis), slot_policies [K, split_size] (agent->policy mapping, reference
+        agent_policy_mapping.py) and policy_version as an array [P].
         """
         cfg = self.cfg
         T = cfg.rollout
@@ -479,23 +527,21 @@ class HostVectorSampler:
 
         for t in range(T):
             for s in range(self.K):
-                self._collect_one(params, obs_rms, key, policy_version, policy_id, t, s, transitions)
+                self._collect_one(params, obs_rms, key, t, s, transitions, slot_policies)
                 key = jax.random.fold_in(key, t * self.K + s)
 
         # flush: wait for the last env steps, finalize rewards/dones
         final_obs = []
         for s in range(self.K):
             self._wait_ready(s)
-            rew = self.slabs.arrays["rewards"][:, s].reshape(self.split_size).copy()
-            term = self.slabs.arrays["terminated"][:, s].reshape(self.split_size).copy()
-            trunc = self.slabs.arrays["truncated"][:, s].reshape(self.split_size).copy()
-            self._finalize_last(transitions[s], rew, term, trunc)
-            # rnn reset for next rollout
+            self._finalize_last(transitions[s], s)
+            term = self.slabs.arrays["terminated"][:, s].reshape(self.split_size)
+            trunc = self.slabs.arrays["truncated"][:, s].reshape(self.split_size)
             done = np.logical_or(term, trunc)
             self.rnn_states[s] = jnp.where(jnp.asarray(done)[:, None], jnp.zeros_like(self.rnn_states[s]), self.rnn_states[s])
             final_obs.append({k: jnp.asarray(v) for k, v in self._split_obs(s).items()})
 
-        traj = self._assemble(transitions, final_obs, policy_version, policy_id)
+        traj = self._assemble(transitions, final_obs, policy_version, policy_id, slot_policies)
         stats = {
             "count": float(len(self.episodic)),
             "return_sum": float(sum(r for r, _ in self.episodic)),
@@ -504,21 +550,25 @@ class HostVectorSampler:
         }
         return traj, stats
 
-    def _collect_one(self, params, obs_rms, key, policy_version, policy_id, t, s, transitions):
+    def _collect_one(self, params, obs_rms, key, t, s, transitions, slot_policies=None):
         if t > 0:
             # finalize previous step's transition for this split
             self._wait_ready(s)
-            rew = self.slabs.arrays["rewards"][:, s].reshape(self.split_size).copy()
-            term = self.slabs.arrays["terminated"][:, s].reshape(self.split_size).copy()
-            trunc = self.slabs.arrays["truncated"][:, s].reshape(self.split_size).copy()
-            self._finalize_last(transitions[s], rew, term, trunc)
+            self._finalize_last(transitions[s], s)
+            term = self.slabs.arrays["terminated"][:, s].reshape(self.split_size)
+            trunc = self.slabs.arrays["truncated"][:, s].reshape(self.split_size)
             done = np.logical_or(term, trunc)
             self.rnn_states[s] = jnp.where(jnp.asarray(done)[:, None], jnp.zeros_like(self.rnn_states[s]), self.rnn_states[s])
 
         obs_np = self._split_obs(s)
         obs_dev = {k: jnp.asarray(v) for k, v in obs_np.items()}
         rnn = self.rnn_states[s]
-        actions, log_probs, action_params, values, new_rnn = self._policy_step(params, obs_rms, obs_dev, rnn, key)
+        if slot_policies is None:
+            actions, log_probs, action_params, values, new_rnn = self._policy_step(params, obs_rms, obs_dev, rnn, key)
+        else:
+            actions, log_probs, action_params, values, new_rnn = self._policy_step_multi(
+                params, obs_rms, obs_dev, rnn, jnp.asarray(slot_policies[s]), key
+            )
         self.rnn_states[s] = new_rnn
 
         # ship actions to workers and let them step while we do other splits
@@ -541,15 +591,45 @@ class HostVectorSampler:
             }
         )
 
-    def _finalize_last(self, split_transitions, rew, term, trunc) -> None:
+    def _finalize_last(self, split_transitions, s: int) -> None:
         tr = split_transitions[-1]
+        rew = self.slabs.arrays["rewards"][:, s].reshape(self.split_size).copy()
+        term = self.slabs.arrays["terminated"][:, s].reshape(self.split_size).copy()
+        trunc = self.slabs.arrays["truncated"][:, s].reshape(self.split_size).copy()
+        active = self.slabs.arrays["active"][:, s].reshape(self.split_size).copy()
         proc = _process_rewards(self.cfg, rew.astype(np.float32))
         tr["rewards"] = jnp.asarray(proc)
         done = np.logical_or(term, trunc).astype(np.float32)
         tr["dones"] = jnp.asarray(done)
         tr["time_outs"] = jnp.asarray(np.logical_and(trunc, ~term).astype(np.float32))
+        tr["active"] = jnp.asarray(active)
 
-    def _assemble(self, transitions, final_obs, policy_version, policy_id):
+    def _build_policy_step_multi(self):
+        """P-way forward + per-slot selection for mixed-policy sampling.
+
+        The reference routes each agent's obs to its policy's inference worker
+        (non_batched_sampling.py); with a stacked population we compute all P
+        forwards (P is small) and select per slot — one fused program, no
+        routing or gathers of parameter trees.
+        """
+        single = self._policy_step_fn()
+
+        def policy_step_multi(stacked_params, stacked_obs_rms, obs, rnn_state, slot_policies, key):
+            P = jax.tree.leaves(stacked_params)[0].shape[0]
+            keys = jax.random.split(key, P)
+            outs = jax.vmap(lambda p, o, k: single(p, o, obs, rnn_state, k))(stacked_params, stacked_obs_rms, keys)
+
+            n = slot_policies.shape[0]
+            idx = jnp.arange(n)
+
+            def select(x):  # x: [P, N, ...] -> [N, ...]
+                return x[slot_policies, idx]
+
+            return jax.tree.map(select, outs)
+
+        return jax.jit(policy_step_multi)
+
+    def _assemble(self, transitions, final_obs, policy_version, policy_id, slot_policies=None):
         """Stack [T] x K splits -> trajectory [T, N] matching the device sampler schema."""
         cfg = self.cfg
         T = cfg.rollout
@@ -578,7 +658,19 @@ class HostVectorSampler:
         for k in ("actions", "action_logits", "log_prob_actions", "values", "rewards", "dones", "time_outs"):
             traj[k] = stack_key(lambda tr, kk=k: tr[kk])
 
+        active = stack_key(lambda tr: tr["active"])  # [T, N] bool
         shape = traj["rewards"].shape
-        traj["policy_version"] = jnp.full(shape, policy_version, jnp.int32)
-        traj["policy_id"] = jnp.full(shape, policy_id, jnp.int32)
+        if slot_policies is None:
+            pid = jnp.full(shape, policy_id, jnp.int32)
+            version = jnp.full(shape, int(policy_version), jnp.int32)
+        else:
+            # per-slot policy assignment; versions indexed by the slot's policy
+            slot_pol = jnp.concatenate([jnp.asarray(slot_policies[s]) for s in range(self.K)], axis=0)
+            pid = jnp.broadcast_to(slot_pol[None, :], shape)
+            versions = jnp.asarray(policy_version, jnp.int32)
+            version = jnp.broadcast_to(versions[slot_pol][None, :], shape)
+        # inactive agents -> policy_id -1, masked by the learner's valids
+        # (reference non_batched_sampling.py is_active -> policy_id=-1)
+        traj["policy_id"] = jnp.where(active, pid, -1)
+        traj["policy_version"] = version
         return traj

@@ -21,8 +21,6 @@ def run_rl(cfg, register_fn=None) -> int:
             f"Experiment {cfg.experiment} already exists and --restart_behavior=restart; "
             "use resume or overwrite"
         )
-    verify_cfg(cfg)
-
     if cfg.jax_distributed:
         import jax
 
@@ -31,6 +29,11 @@ def run_rl(cfg, register_fn=None) -> int:
     from sample_factory_tpu.envs.env_info import obtain_env_info
 
     env_info = obtain_env_info(cfg)
+    if not env_info.is_device_env and env_info.num_agents > 1:
+        # num_envs counts agent-slots (transitions per step), like the
+        # reference's total_num_agents (rl_utils.py:28-33)
+        cfg.num_envs = cfg.num_workers * cfg.num_envs_per_worker * env_info.num_agents
+    verify_cfg(cfg)
     if env_info.is_device_env:
         if cfg.num_policies > 1:
             from sample_factory_tpu.runner.multi_policy_runner import MultiPolicyRunner
@@ -38,6 +41,10 @@ def run_rl(cfg, register_fn=None) -> int:
             runner = MultiPolicyRunner(cfg)
         else:
             runner = Runner(cfg)
+    elif cfg.num_policies > 1:
+        from sample_factory_tpu.runner.host_multi_policy_runner import HostMultiPolicyRunner
+
+        runner = HostMultiPolicyRunner(cfg, register_fn=register_fn)
     else:
         from sample_factory_tpu.runner.host_runner import HostEnvRunner
 
