@@ -489,7 +489,7 @@ class HostVectorSampler:
             return
         if not hasattr(self, "_ready_counts"):
             self._ready_counts: Dict[int, int] = {}
-        deadline = time.time() + max(60.0, self.cfg.heartbeat_reporting_interval)
+        deadline = time.time() + max(10.0, self.cfg.heartbeat_reporting_interval)
         while self._ready_counts.get(split, 0) < self.W:
             remaining = deadline - time.time()
             if remaining <= 0:

@@ -147,4 +147,12 @@ def make_synthetic_env(full_env_name: str, cfg=None, env_config=None, render_mod
         return SyntheticTupleActionEnv(episode_len=episode_len)
     if full_env_name == "synthetic_masked":
         return SyntheticMaskedEnv(episode_len=episode_len)
+    if full_env_name == "grid_battle":
+        from sample_factory_tpu.envs.builtin.grid_battle import GridBattleEnv
+
+        return GridBattleEnv()
+    if full_env_name == "grid_battle_small":
+        from sample_factory_tpu.envs.builtin.grid_battle import GridBattleEnv
+
+        return GridBattleEnv(size=12, num_enemies=4, episode_len=128, shoot_range=5)
     raise ValueError(f"Unknown synthetic env {full_env_name}")

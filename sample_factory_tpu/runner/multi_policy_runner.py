@@ -191,6 +191,10 @@ class MultiPolicyRunner(Runner):
             self.writers[p].flush()
 
     def _save(self, is_final: bool = False, milestone: bool = False) -> None:
+        from sample_factory_tpu.parallel.multihost import is_primary_host
+
+        if not is_primary_host():
+            return  # shared fs: only host 0 writes checkpoints
         for p in range(self.P):
             save_checkpoint(
                 self.cfg,

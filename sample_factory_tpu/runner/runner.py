@@ -287,6 +287,10 @@ class Runner:
         self.writer.flush()
 
     def _save(self, is_final: bool = False, milestone: bool = False) -> None:
+        from sample_factory_tpu.parallel.multihost import is_primary_host
+
+        if not is_primary_host():
+            return  # shared fs: only host 0 writes checkpoints
         with self.timing.add_time("save"):
             save_checkpoint(
                 self.cfg, self.policy_id, self.train_state, self.env_steps, self.best_performance, milestone=milestone

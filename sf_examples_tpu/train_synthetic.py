@@ -39,7 +39,7 @@ def override_defaults(parser):
 
 
 def register_synthetic_components():
-    for name in ("synthetic_discrete", "synthetic_vector_discrete", "synthetic_continuous", "synthetic_tuple", "synthetic_masked"):
+    for name in ("synthetic_discrete", "synthetic_vector_discrete", "synthetic_continuous", "synthetic_tuple", "synthetic_masked", "grid_battle", "grid_battle_small"):
         register_env(name, make_synthetic_env)
 
 
