@@ -103,14 +103,9 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
         if use_rnn:
             seq = jnp.swapaxes(head_out, 0, 1)  # [R, S, D]
             resets = jnp.swapaxes(reset_flags, 0, 1)  # [R, S]
-
-            def core_step(h, inp):
-                x_t, reset_t = inp
-                out, h_new = model.apply(params, x_t, h, method="forward_core")
-                h_new = jnp.where(reset_t[:, None] > 0, jnp.zeros_like(h_new), h_new)
-                return h_new, out
-
-            _, outs = jax.lax.scan(core_step, init_rnn_state, (seq, resets))  # [R, S, D]
+            # fused-scan BPTT: input projections for all R steps in one matmul,
+            # only the recurrent half inside the scan (ops/rnn_cells.py)
+            outs, _ = model.apply(params, seq, init_rnn_state, resets, method="forward_core_seq")
             core_out = jnp.swapaxes(outs, 0, 1).reshape(S * R, -1)
         else:
             flat = head_out.reshape(S * R, -1)
@@ -319,11 +314,17 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
         segs_per_mb = batch_size // recurrence
 
         def make_epoch_minibatches(key):
-            if cfg.shuffle_minibatches:
-                perm = jax.random.permutation(key, num_segments)
-            else:
-                perm = jnp.arange(num_segments)
-            perm = perm[: num_minibatches * segs_per_mb]
+            if not cfg.shuffle_minibatches:
+                # contiguous minibatches: a pure reshape, no data movement
+                # (reference default; shuffling is opt-in there too, cfg.py
+                # --shuffle_minibatches "slow operation when batches are large")
+                def split(x):
+                    used = num_minibatches * batch_size
+                    return x[:used].reshape((num_minibatches, batch_size) + x.shape[1:])
+
+                return jax.tree.map(split, dataset)
+
+            perm = jax.random.permutation(key, num_segments)[: num_minibatches * segs_per_mb]
 
             def gather(x):
                 seg_view = x.reshape((num_segments, recurrence) + x.shape[1:])

@@ -70,6 +70,11 @@ class ActorCriticSharedWeights(nn.Module):
     def forward_core(self, head_output, rnn_state):
         return self.core(head_output, rnn_state)
 
+    def forward_core_seq(self, head_seq, rnn_state, resets):
+        """BPTT: head_seq [T, B, D], rnn_state [B, S], resets [T, B] ->
+        (core_out [T, B, H], final_state). Uses the fused-scan cell path."""
+        return self.core(head_seq, rnn_state, resets=resets, seq=True)
+
     def forward_tail(self, core_output) -> Tuple[jnp.ndarray, jnp.ndarray]:
         decoded = self.decoder(core_output)
         values = self.critic_linear(decoded).astype(jnp.float32)[..., 0]
@@ -132,6 +137,16 @@ class ActorCriticSeparateWeights(nn.Module):
         actor_s, critic_s = self._state_split(rnn_state)
         actor_out, new_actor_s = self.actor_core(actor_h, actor_s)
         critic_out, new_critic_s = self.critic_core(critic_h, critic_s)
+        return (
+            jnp.concatenate([actor_out, critic_out], axis=-1),
+            jnp.concatenate([new_actor_s, new_critic_s], axis=-1),
+        )
+
+    def forward_core_seq(self, head_seq, rnn_state, resets):
+        actor_h, critic_h = self._head_split(head_seq)
+        actor_s, critic_s = self._state_split(rnn_state)
+        actor_out, new_actor_s = self.actor_core(actor_h, actor_s, resets=resets, seq=True)
+        critic_out, new_critic_s = self.critic_core(critic_h, critic_s, resets=resets, seq=True)
         return (
             jnp.concatenate([actor_out, critic_out], axis=-1),
             jnp.concatenate([new_actor_s, new_critic_s], axis=-1),

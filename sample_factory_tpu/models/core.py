@@ -26,8 +26,13 @@ class ModelCoreRNN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, flat_state):
-        """One step. x: [B, D_in]; flat_state: [B, S]. Returns (y, new_flat_state)."""
+    def __call__(self, x, flat_state, resets=None, seq: bool = False):
+        """Step mode: x [B, D_in], flat_state [B, S] -> (y, new_state).
+        Sequence mode (seq=True): x [T, B, D_in], resets [T, B] ->
+        (y [T, B, H], final_state [B, S]) — fused scan per layer
+        (ops/rnn_cells.py), replacing the per-step two-matmul pattern."""
+        from sample_factory_tpu.ops.rnn_cells import FusedGRUCell, FusedLSTMCell
+
         num_layers = self.cfg.rnn_num_layers
         size = self.cfg.rnn_size
         is_lstm = self.cfg.rnn_type == "lstm"
@@ -38,14 +43,11 @@ class ModelCoreRNN(nn.Module):
         for layer in range(num_layers):
             chunk = flat_state[:, layer * per_layer : (layer + 1) * per_layer]
             if is_lstm:
-                h, c = chunk[:, :size], chunk[:, size:]
-                cell = nn.OptimizedLSTMCell(size, dtype=self.dtype, name=f"lstm_{layer}")
-                (new_c, new_h), out = cell((c, h), inp)
-                new_states.append(jnp.concatenate([new_h, new_c], axis=-1))
+                cell = FusedLSTMCell(size, self.cfg, dtype=self.dtype, name=f"lstm_{layer}")
             else:
-                cell = nn.GRUCell(size, dtype=self.dtype, name=f"gru_{layer}")
-                new_h, out = cell(chunk, inp)
-                new_states.append(new_h)
+                cell = FusedGRUCell(size, self.cfg, dtype=self.dtype, name=f"gru_{layer}")
+            out, new_state = cell(inp, chunk, resets=resets, seq=seq)
+            new_states.append(new_state)
             inp = out
         return inp, jnp.concatenate(new_states, axis=-1)
 
@@ -56,7 +58,7 @@ class ModelCoreIdentity(nn.Module):
     cfg: Any
     dtype: Any = jnp.float32
 
-    def __call__(self, x, flat_state):
+    def __call__(self, x, flat_state, resets=None, seq: bool = False):
         return x, flat_state
 
 
