@@ -112,6 +112,29 @@ class ShmSlabs:
 # ------------------------------------------------------------------- worker
 
 
+def _convert_host_action(space, a: np.ndarray):
+    """Flat action vector -> what the gymnasium env expects (int for Discrete,
+    array for Box, tuple of components for Tuple — reference
+    batched_sampling.py preprocess_actions)."""
+    import gymnasium as gym
+
+    if isinstance(space, gym.spaces.Discrete):
+        return int(a[0]) if getattr(a, "ndim", 0) else int(a)
+    if isinstance(space, gym.spaces.Box):
+        return np.asarray(a, dtype=space.dtype).reshape(space.shape)
+    if isinstance(space, gym.spaces.Tuple):
+        parts, off = [], 0
+        for sub in space.spaces:
+            n = 1 if isinstance(sub, gym.spaces.Discrete) else int(np.prod(sub.shape))
+            parts.append(_convert_host_action(sub, a[off : off + n]))
+            off += n
+        return tuple(parts)
+    # fallback: squeeze single-component int actions, pass arrays through
+    if a.shape and a.shape[0] == 1 and np.issubdtype(a.dtype, np.integer):
+        return int(a[0])
+    return a
+
+
 class EnvSlotStepper:
     """Owns one worker's envs and maps them onto agent-slots in the slabs.
 
@@ -161,6 +184,8 @@ class EnvSlotStepper:
 
     def reset_all(self) -> None:
         self.slabs.arrays["active"][self.w] = True
+        rng = np.random.default_rng(self.cfg.seed + self.w)
+        total_envs = self.K * self.E
         for s in range(self.K):
             for e in range(self.E):
                 seed = self.cfg.seed + self.w * 10007 + s * 101 + e
@@ -170,6 +195,16 @@ class EnvSlotStepper:
                         self._write_obs(s, e * self.A + a, self._wrap_ma_obs(obs_list[a]))
                 else:
                     obs, _ = self.envs[s][e].reset(seed=seed)
+                    # stagger episode phases so resets don't synchronize across
+                    # the vector (reference --decorrelate_envs_on_one_worker)
+                    if self.cfg.decorrelate_envs_on_one_worker and not self.cfg.benchmark:
+                        env = self.envs[s][e]
+                        warmup = int(rng.integers(0, max(1, self.cfg.rollout * (s * self.E + e + 1) // total_envs + 1)))
+                        for _ in range(warmup):
+                            obs2, _, term, trunc, _ = env.step(env.action_space.sample())
+                            if term or trunc:
+                                obs2, _ = env.reset()
+                            obs = obs2
                     self._write_obs(s, e, obs)
 
     def step_split(self, split: int) -> List[Tuple[float, int]]:
@@ -181,12 +216,8 @@ class EnvSlotStepper:
         for e in range(self.E):
             env = self.envs[split][e]
             if self.multiagent:
-                acts = []
-                for a in range(self.A):
-                    act = actions[e * self.A + a]
-                    if act.shape[0] == 1 and np.issubdtype(act.dtype, np.integer):
-                        act = int(act[0])
-                    acts.append(act)
+                space = self.envs[split][e].action_space
+                acts = [_convert_host_action(space, actions[e * self.A + a]) for a in range(self.A)]
                 obs_list, rewards, terms, truncs, infos = env.step(acts)
                 all_done = all(bool(t) or bool(tr) for t, tr in zip(terms, truncs))
                 for a in range(self.A):
@@ -207,9 +238,7 @@ class EnvSlotStepper:
                 for a in range(self.A):
                     self._write_obs(split, e * self.A + a, self._wrap_ma_obs(obs_list[a]))
             else:
-                a = actions[e]
-                if a.shape[0] == 1 and np.issubdtype(a.dtype, np.integer):
-                    a = int(a[0])
+                a = _convert_host_action(env.action_space, actions[e])
                 obs, reward, terminated, truncated, info = env.step(a)
                 self.ep_returns[split, e] += reward
                 self.ep_lens[split, e] += 1
