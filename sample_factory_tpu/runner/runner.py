@@ -185,8 +185,16 @@ class Runner:
 
         log.info("Starting training for %d env steps (current: %d)", cfg.train_for_env_steps, self.env_steps)
         status = 0
+        profiled_iters = 0
+        if cfg.profiler_dir:
+            jax.profiler.start_trace(cfg.profiler_dir)
         try:
             while not self._should_end_training():
+                if cfg.profiler_dir and profiled_iters == 12:
+                    # capture the first dozen iterations (incl. compile), then stop
+                    jax.profiler.stop_trace()
+                    log.info("jax.profiler trace written to %s", cfg.profiler_dir)
+                profiled_iters += 1
                 self.key, iter_key = jax.random.split(self.key)
                 if not cfg.async_rl:
                     ts, ss, stats, ep_stats = self._train_iteration_sync(
@@ -209,6 +217,11 @@ class Runner:
             log.info("Interrupted, saving checkpoint...")
             status = 1
         finally:
+            if cfg.profiler_dir and profiled_iters <= 12:
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:  # noqa: BLE001 - trace may already be stopped
+                    pass
             self._save(is_final=True)
             if self.writer is not None:
                 self.writer.close()
