@@ -253,6 +253,22 @@ class EnvSlotStepper:
                 self._write_obs(split, e, obs)
         return completed
 
+    def set_reward_shaping(self, shaping: Dict[str, Any], slot_mask: Optional[np.ndarray] = None) -> None:
+        """Apply new reward shaping to envs. slot_mask [K, E*A] selects which
+        agent slots (i.e. which policy's agents) it applies to; None = all."""
+        for s in range(self.K):
+            for e in range(self.E):
+                env = self.envs[s][e]
+                if not hasattr(env, "set_reward_shaping"):
+                    continue
+                for a in range(self.A):
+                    slot = e * self.A + a
+                    if slot_mask is None or slot_mask[s, slot]:
+                        try:
+                            env.set_reward_shaping(shaping, a)
+                        except Exception:  # noqa: BLE001 - env may not support per-agent
+                            pass
+
     def close(self) -> None:
         for row in self.envs:
             for env in row:
@@ -311,6 +327,10 @@ def host_env_worker(worker_idx: int, cfg, env_info, slabs_spec, cmd_conn, res_co
                 split = msg[1]
                 completed = stepper.step_split(split)
                 send_res(("ready", split, completed))
+            elif msg[0] == "set_reward_shaping":
+                # PBT-mutated reward shaping for envs whose agents belong to a
+                # policy (reference runner.py:425-451 update_training_info)
+                stepper.set_reward_shaping(msg[1], msg[2])
             elif msg[0] == "close":
                 break
         stepper.close()
@@ -536,6 +556,23 @@ class HostVectorSampler:
     def _serial_step(self, split: int) -> None:
         for stepper in self.serial_steppers:
             self.episodic.extend(stepper.step_split(split))
+
+    def set_reward_shaping(self, shaping: Dict[str, Any], slot_mask=None) -> None:
+        """Push PBT-mutated reward shaping to the envs. slot_mask
+        [K, split_size] (slots are worker-major) selects affected agents."""
+        per_worker = self.E  # slots per worker-split
+        if self.serial_envs is not None:
+            for w, stepper in enumerate(self.serial_steppers):
+                mask_w = None if slot_mask is None else slot_mask[:, w * per_worker : (w + 1) * per_worker]
+                stepper.set_reward_shaping(shaping, mask_w)
+            return
+        for w, conn in enumerate(self.cmd_conns):
+            mask_w = None if slot_mask is None else slot_mask[:, w * per_worker : (w + 1) * per_worker]
+            msg = ("set_reward_shaping", shaping, mask_w)
+            if self._use_shm_queue:
+                conn.put(msg)
+            else:
+                conn.send(msg)
 
     # ------------------------------------------------------ rollout assembly
 

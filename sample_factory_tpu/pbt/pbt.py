@@ -57,7 +57,7 @@ class PopulationBasedTraining:
     stacked train state.
     """
 
-    def __init__(self, cfg, num_policies: Optional[int] = None):
+    def __init__(self, cfg, num_policies: Optional[int] = None, default_reward_shaping: Optional[Dict] = None):
         self.cfg = cfg
         self.P = num_policies or cfg.num_policies
         self.hparams_to_tune = set(PBT_HPARAMS) - ({"gamma"} if not cfg.pbt_optimize_gamma else set())
@@ -65,6 +65,13 @@ class PopulationBasedTraining:
             self.hparams_to_tune.discard("gamma")
         self.default_hparams = {name: float(getattr(cfg, name)) for name in PBT_HPARAMS}
         self.policy_hparams: List[Dict[str, float]] = [dict(self.default_hparams) for _ in range(self.P)]
+        # reward shaping population (reference policy_reward_shaping, :128-151)
+        self.default_reward_shaping = copy.deepcopy(default_reward_shaping)
+        self.policy_reward_shaping: List[Optional[Dict]] = [
+            copy.deepcopy(default_reward_shaping) for _ in range(self.P)
+        ]
+        # (policy_id, shaping) updates the runner must push to the sampler
+        self.pending_shaping_updates: List[tuple] = []
         self.last_update = [0] * self.P
         self.rng = random.Random(cfg.seed)
 
@@ -88,6 +95,34 @@ class PopulationBasedTraining:
         for name in self.hparams_to_tune:
             out[name] = self._perturb_param(out[name], name)
         return out
+
+    def _perturb_reward_shaping(self, shaping: Optional[Dict]) -> Optional[Dict]:
+        """Mutate numeric leaves of the (possibly nested) shaping dict
+        (reference _perturb, :232-254)."""
+        if shaping is None:
+            return None
+
+        def perturb_leaf(value, default, name):
+            if isinstance(value, dict):
+                return {k: perturb_leaf(v, (default or {}).get(k), f"{name}_{k}") for k, v in value.items()}
+            if isinstance(value, (tuple, list)):
+                return type(value)(
+                    self._perturb_shaping_value(v, (default or [v])[i] if default else v, f"{name}_{i}")
+                    for i, v in enumerate(value)
+                )
+            return self._perturb_shaping_value(value, default if default is not None else value, name)
+
+        return {k: perturb_leaf(v, (self.default_reward_shaping or {}).get(k), k) for k, v in shaping.items()}
+
+    def _perturb_shaping_value(self, value, default, name):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return value
+        if self.rng.random() > self.cfg.pbt_mutation_rate:
+            return value
+        if value != default and self.rng.random() < 0.01:
+            return default
+        amount = self.rng.uniform(self.cfg.pbt_perturb_min, self.cfg.pbt_perturb_max)
+        return perturb_float(float(value), amount)
 
     # ------------------------------------------------------------ application
 
@@ -131,6 +166,10 @@ class PopulationBasedTraining:
     def _save_policy_cfg(self, policy_id: int) -> None:
         with open(policy_cfg_file(self.cfg, policy_id), "w") as f:
             json.dump(self.policy_hparams[policy_id], f, indent=2)
+        if self.policy_reward_shaping[policy_id] is not None:
+            path = join(experiment_dir(self.cfg), f"policy_{policy_id:02d}_reward_shaping.json")
+            with open(path, "w") as f:
+                json.dump(self.policy_reward_shaping[policy_id], f, indent=2)
 
     # ----------------------------------------------------------------- driver
 
@@ -175,10 +214,16 @@ class PopulationBasedTraining:
             # never mutate policy 0 (the reference baseline policy, :353-360);
             # it may still inherit a better policy's parameters wholesale
             self.policy_hparams[policy_id] = dict(self.policy_hparams[replacement])
+            self.policy_reward_shaping[policy_id] = copy.deepcopy(self.policy_reward_shaping[replacement])
         else:
             self.policy_hparams[policy_id] = self._perturb_hparams(self.policy_hparams[replacement])
+            self.policy_reward_shaping[policy_id] = self._perturb_reward_shaping(
+                self.policy_reward_shaping[replacement]
+            )
 
         stacked_ts = self._replace_weights(stacked_ts, policy_id, replacement)
         stacked_ts = self._write_hparams_into_state(stacked_ts, policy_id)
+        if self.policy_reward_shaping[policy_id] is not None:
+            self.pending_shaping_updates.append((policy_id, self.policy_reward_shaping[policy_id]))
         self._save_policy_cfg(policy_id)
         return stacked_ts

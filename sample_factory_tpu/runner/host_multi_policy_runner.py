@@ -95,7 +95,9 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
         self._policy_ids = jnp.arange(self.P, dtype=jnp.int32)
 
         if cfg.with_pbt:
-            self.pbt = PopulationBasedTraining(cfg, self.P)
+            self.pbt = PopulationBasedTraining(
+                cfg, self.P, default_reward_shaping=self.env_info.reward_shaping_scheme
+            )
         log.info(
             "HostMultiPolicyRunner: %d policies, %d agent-slots (%d agents/env), mixing=%s, PBT=%s",
             self.P,
@@ -142,6 +144,11 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
                     per_policy_steps = [self.env_steps // self.P] * self.P
                     objectives = [es.avg_reward for es in self.episode_stats_per_policy]
                     self.train_state = self.pbt.on_training_step(self.train_state, per_policy_steps, objectives)
+                    # push mutated reward shaping to the envs of affected policies
+                    for policy_id, shaping in self.pbt.pending_shaping_updates:
+                        mask = self.slot_policies == policy_id
+                        self.sampler.set_reward_shaping(shaping, mask)
+                    self.pbt.pending_shaping_updates.clear()
 
                 self._periodic_tasks(stats)
                 self._notify_observers(stats)
