@@ -67,7 +67,29 @@ def extract_env_info(env, cfg) -> EnvInfo:
 
 
 def obtain_env_info(cfg) -> EnvInfo:
-    """Build one probe env, extract the info, close it."""
+    """Build one probe env, extract the info, close it.
+
+    With --use_env_info_cache the result is pickled per env name (reference
+    env_info.py:95-134 on-disk cache) — useful for envs with slow startup.
+    """
+    import os
+    import pickle
+
+    cache_path = None
+    if cfg is not None and getattr(cfg, "use_env_info_cache", False):
+        cache_dir = os.path.join(os.path.expanduser("~"), ".sample_factory_tpu", "env_info")
+        os.makedirs(cache_dir, exist_ok=True)
+        cache_path = os.path.join(cache_dir, f"{cfg.env}.pkl")
+        if os.path.isfile(cache_path):
+            try:
+                with open(cache_path, "rb") as f:
+                    info = pickle.load(f)
+                if getattr(info, "env_info_protocol_version", 0) == EnvInfo.env_info_protocol_version:
+                    log.debug("Loaded cached env info for %s", cfg.env)
+                    return info
+            except Exception:  # noqa: BLE001 - stale cache
+                pass
+
     env = create_env(cfg.env, cfg=cfg, env_config=None)
     info = extract_env_info(env, cfg)
     if hasattr(env, "close"):
@@ -75,4 +97,11 @@ def obtain_env_info(cfg) -> EnvInfo:
             env.close()
         except Exception:  # noqa: BLE001
             log.warning("Probe env close() failed")
+
+    if cache_path is not None:
+        try:
+            with open(cache_path, "wb") as f:
+                pickle.dump(info, f)
+        except Exception:  # noqa: BLE001
+            pass
     return info

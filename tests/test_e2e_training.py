@@ -59,8 +59,15 @@ def _train_cfg(tmp_path, experiment, env="synthetic_vector_discrete", extra=None
         ),
         ("synthetic_continuous", ["--async_rl=False", "--kl_loss_coeff=0.1"], -0.5),
         ("synthetic_tuple", ["--async_rl=False"], -0.2),
+        (
+            "synthetic_vector_discrete",
+            ["--async_rl=False", "--use_rnn=True", "--rnn_type=lstm", "--rnn_size=32", "--rnn_num_layers=2",
+             "--recurrence=8", "--actor_critic_share_weights=False"],
+            1.2,
+        ),
+        ("synthetic_vector_discrete", ["--async_rl=False", "--compute_dtype=bfloat16"], 1.3),
     ],
-    ids=["sync", "async", "vtrace_rnn", "continuous", "tuple_actions"],
+    ids=["sync", "async", "vtrace_rnn", "continuous", "tuple_actions", "lstm_separate_weights", "bfloat16"],
 )
 def test_learns_objective(tmp_path, env, extra, threshold):
     cfg = _train_cfg(tmp_path, f"e2e_{env}", env=env, extra=extra)
