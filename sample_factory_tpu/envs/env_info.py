@@ -1,10 +1,11 @@
 """EnvInfo: static metadata extracted from one probe env instance.
 
 Parity: reference `sample_factory/algo/utils/env_info.py:22-134`
-(obtain_env_info_in_a_separate_process). For on-device envs the probe is free
-(no GL contexts or engine state to pollute the process), so we probe inline;
-host gymnasium envs are probed in a spawned process when
---use_env_info_cache is off and the env is marked heavyweight.
+(obtain_env_info_in_a_separate_process). The probe runs inline: on-device
+envs are pure functions (nothing to pollute), and host gymnasium envs are
+built again inside worker processes anyway, so main-process state pollution
+only affects the probe itself. --use_env_info_cache skips the probe entirely
+using an on-disk cache keyed by env name + cfg fingerprint.
 """
 
 from __future__ import annotations
@@ -77,9 +78,17 @@ def obtain_env_info(cfg) -> EnvInfo:
 
     cache_path = None
     if cfg is not None and getattr(cfg, "use_env_info_cache", False):
+        import hashlib
+
+        # EnvInfo depends on env-shaping cfg fields; key the cache by their
+        # fingerprint so a different cfg never reuses stale shapes (the
+        # reference guards the same hazard with check_env_info, env_info.py:74-92)
+        fp_fields = ("env_frameskip", "env_framestack", "pixel_format", "env_gpu_observations", "num_policies")
+        fingerprint = "|".join(f"{k}={cfg.get(k)}" for k in fp_fields if hasattr(cfg, "get"))
+        digest = hashlib.sha1(fingerprint.encode()).hexdigest()[:12]
         cache_dir = os.path.join(os.path.expanduser("~"), ".sample_factory_tpu", "env_info")
         os.makedirs(cache_dir, exist_ok=True)
-        cache_path = os.path.join(cache_dir, f"{cfg.env}.pkl")
+        cache_path = os.path.join(cache_dir, f"{cfg.env}_{digest}.pkl")
         if os.path.isfile(cache_path):
             try:
                 with open(cache_path, "rb") as f:
