@@ -122,6 +122,7 @@ def enjoy_host(cfg, max_episodes: int, collect_episodes: Optional[list] = None) 
     Parity: reference enjoy.py:103-292 — render or record video, optional
     deterministic argmax, frameskip-compensating action repeat at eval time.
     """
+    from sample_factory_tpu.algo.host_sampling import _convert_host_action
     from sample_factory_tpu.algo.running_mean_std import obs_rms_normalize as _norm
     from sample_factory_tpu.envs.env_info import extract_env_info
     from sample_factory_tpu.envs.gym_wrappers import wrap_host_env
@@ -140,15 +141,26 @@ def enjoy_host(cfg, max_episodes: int, collect_episodes: Optional[list] = None) 
         cfg.env_frameskip = cfg.eval_env_frameskip
     render_action_repeat = max(1, train_frameskip // max(1, cfg.env_frameskip))
 
-    env = wrap_host_env(create_env(cfg.env, cfg=cfg, env_config=None, render_mode=render_mode), cfg)
+    env = create_env(cfg.env, cfg=cfg, env_config=None, render_mode=render_mode)
+    multiagent = getattr(env, "is_multiagent", False)
+    if not multiagent:
+        env = wrap_host_env(env, cfg)
+    num_agents = env.num_agents if multiagent else 1
     env_info = extract_env_info(env, cfg)
+
+    def to_batched_obs(obs):
+        """Single-agent dict obs or multi-agent list -> dict of [A, ...] arrays."""
+        if not multiagent:
+            return {k: jnp.asarray(v)[None] for k, v in obs.items()}
+        per_agent = [o if isinstance(o, dict) else {"obs": o} for o in obs]
+        return {k: jnp.asarray(np.stack([o[k] for o in per_agent])) for k in per_agent[0]}
     model = create_actor_critic(cfg, env_info.obs_space, env_info.action_space)
     tx = make_optimizer(cfg)
 
     key = jax.random.PRNGKey(cfg.seed or 0)
     k_model, key = jax.random.split(key)
     obs, _ = env.reset(seed=cfg.seed)
-    example_obs = {k: jnp.asarray(v)[None] for k, v in obs.items()}
+    example_obs = to_batched_obs(obs)
     ts = init_train_state(cfg, env_info, model, tx, k_model, example_obs)
     restored = load_checkpoint(cfg, cfg.policy_index, ts)
     if restored is None:
@@ -170,45 +182,56 @@ def enjoy_host(cfg, max_episodes: int, collect_episodes: Optional[list] = None) 
             actions = dist.sample(key)
         return actions.astype(a_dtype), new_rnn
 
-    rnn = initial_actor_critic_state(cfg, 1)
+    rnn = initial_actor_critic_state(cfg, num_agents)
     frames = []
     episodes, reward_sum, len_sum = 0, 0.0, 0.0
-    ep_reward, ep_len, total_frames = 0.0, 0, 0
+    ep_reward, ep_len, total_frames = np.zeros(num_agents), 0, 0
     fps_delay = 1.0 / cfg.fps if cfg.fps > 0 else 0.0
 
+    def render_frame():
+        if render_mode == "rgb_array" and len(frames) < cfg.video_frames:
+            frames.append(env.render())
+        elif render_mode == "human":
+            env.render()
+            if fps_delay:
+                time.sleep(fps_delay)
+
     while episodes < max_episodes and total_frames < cfg.max_num_frames:
-        obs_dev = {k: jnp.asarray(v)[None] for k, v in obs.items()}
+        obs_dev = to_batched_obs(obs)
         key, k = jax.random.split(key)
         actions, rnn = policy_step(ts.params, ts.obs_rms, obs_dev, rnn, k)
-        a = np.asarray(actions)[0]
-        if a.shape[0] == 1 and np.issubdtype(a.dtype, np.integer):
-            a = int(a[0])
+        acts = np.asarray(actions)
 
         done = False
         for _ in range(render_action_repeat):
-            obs, reward, terminated, truncated, info = env.step(a)
-            ep_reward += float(reward)
+            if multiagent:
+                action_list = [_convert_host_action(env.action_space, acts[a]) for a in range(num_agents)]
+                obs, rewards, terms, truncs, infos = env.step(action_list)
+                ep_reward += np.asarray(rewards, np.float64)
+                done = all(bool(t) or bool(tr) for t, tr in zip(terms, truncs))
+            else:
+                a = acts[0]
+                if a.shape and a.shape[0] == 1 and np.issubdtype(a.dtype, np.integer):
+                    a = int(a[0])
+                obs, reward, terminated, truncated, info = env.step(a)
+                ep_reward += float(reward)
+                done = terminated or truncated
             ep_len += 1
             total_frames += 1
-            if render_mode == "rgb_array" and len(frames) < cfg.video_frames:
-                frames.append(env.render())
-            elif render_mode == "human":
-                env.render()
-                if fps_delay:
-                    time.sleep(fps_delay)
-            done = terminated or truncated
+            render_frame()
             if done:
                 break
 
         if done:
             episodes += 1
-            reward_sum += ep_reward
+            ep_rew = float(ep_reward.mean())
+            reward_sum += ep_rew
             len_sum += ep_len
             if collect_episodes is not None:
-                collect_episodes.append((ep_reward, ep_len))
-            log.info("Episode %d: reward %.3f, length %d", episodes, ep_reward, ep_len)
-            ep_reward, ep_len = 0.0, 0
-            rnn = initial_actor_critic_state(cfg, 1)
+                collect_episodes.append((ep_rew, ep_len))
+            log.info("Episode %d: reward %.3f, length %d", episodes, ep_rew, ep_len)
+            ep_reward, ep_len = np.zeros(num_agents), 0
+            rnn = initial_actor_critic_state(cfg, num_agents)
             obs, _ = env.reset()
 
     env.close()

@@ -102,7 +102,15 @@ def make_pettingzoo_env(module_path: str, parallel: bool = True, **env_kwargs):
     if parallel and hasattr(module, "parallel_env"):
         env = module.parallel_env(**env_kwargs)
     else:
-        from pettingzoo.utils import aec_to_parallel
+        aec_env = module.env(**env_kwargs)
+        if aec_env.metadata.get("is_parallelizable", False):
+            from pettingzoo.utils import aec_to_parallel
 
-        env = aec_to_parallel(module.env(**env_kwargs))
+            env = aec_to_parallel(aec_env)
+        else:
+            # turn-based classics (tictactoe, chess, ...): reference
+            # train_pettingzoo_env.py uses turn_based_aec_to_parallel
+            from pettingzoo.utils import turn_based_aec_to_parallel
+
+            env = turn_based_aec_to_parallel(aec_env)
     return PettingZooParallelAdapter(env)

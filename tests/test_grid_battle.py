@@ -51,7 +51,10 @@ def test_grid_battle_learns(tmp_path):
         "--num_workers=2",
         "--num_envs_per_worker=16",
         "--learning_rate=3e-4",
-        "--train_for_env_steps=100000",
+        # XLA CPU reductions are not bitwise-deterministic across runs, and RL
+        # curves amplify tiny divergence chaotically: give the run enough
+        # budget that every realization of this seed clears the bar.
+        "--train_for_env_steps=250000",
         "--experiment_summaries_interval=2",
     ]
     cfg = parse_custom_args(argv)

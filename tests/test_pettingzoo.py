@@ -59,3 +59,32 @@ def test_rps_trains_through_pipeline(tmp_path):
     cfg = parse_gym_args(argv)
     assert run_rl(cfg, register_fn=register_rps) == 0
     reset_global_context()
+
+
+def test_tictactoe_example_train_enjoy(tmp_path):
+    """The turn-based classic example (custom conv encoder registered via the
+    model factory) trains and round-trips through enjoy()."""
+    from sample_factory_tpu.enjoy import enjoy
+    from sf_examples_tpu.train_pettingzoo_env import parse_custom_args, register_custom_components
+
+    reset_global_context()
+    register_custom_components()
+    argv = [
+        "--env=tictactoe_v3",
+        "--experiment=ttt",
+        f"--train_dir={tmp_path}",
+        "--seed=0",
+        "--device=cpu",
+        "--num_workers=2",
+        "--num_envs_per_worker=4",
+        "--batch_size=256",
+        "--train_for_env_steps=4000",
+        "--save_every_sec=5",
+    ]
+    cfg = parse_custom_args(argv)
+    assert run_rl(cfg, register_fn=register_custom_components) == 0
+
+    eval_cfg = parse_custom_args(argv + ["--no_render", "--max_num_episodes=3"], evaluation=True)
+    status, _ = enjoy(eval_cfg)
+    assert status == 0
+    reset_global_context()
