@@ -42,11 +42,19 @@ class SamplerState:
     ep_return: jnp.ndarray  # [N]
     ep_len: jnp.ndarray  # [N]
     ep_return_raw: jnp.ndarray  # [N] before reward scaling/clipping
+    # runtime reward-shaping coefficients (dict of f32 scalars) for envs with
+    # supports_dynamic_shaping — PBT mutates these between iterations without
+    # recompiling (the TPU-native RewardShapingInterface; reference pushes
+    # shaping dicts to env processes via update_training_info)
+    shaping: Any = None
 
 
 def init_sampler_state(cfg, env: DeviceEnv, key, num_envs: int) -> SamplerState:
     reset_key, carry_key = jax.random.split(key)
     obs, env_states = vector_reset(env, reset_key, num_envs)
+    shaping = None
+    if getattr(env, "supports_dynamic_shaping", False) and env.reward_shaping:
+        shaping = {k: jnp.asarray(v, jnp.float32) for k, v in env.reward_shaping.items()}
     return SamplerState(
         env_states=env_states,
         obs=obs,
@@ -55,6 +63,7 @@ def init_sampler_state(cfg, env: DeviceEnv, key, num_envs: int) -> SamplerState:
         ep_return=jnp.zeros(num_envs, jnp.float32),
         ep_len=jnp.zeros(num_envs, jnp.float32),
         ep_return_raw=jnp.zeros(num_envs, jnp.float32),
+        shaping=shaping,
     )
 
 
@@ -92,7 +101,7 @@ def make_rollout_fn(cfg, env: DeviceEnv, env_info, model) -> Callable:
                 params, obs_rms, ss.obs, ss.rnn_state, k_act
             )
 
-            next_obs, env_states, rewards, dones, info = vector_step(env, k_env, ss.env_states, actions)
+            next_obs, env_states, rewards, dones, info = vector_step(env, k_env, ss.env_states, actions, ss.shaping)
             proc_rewards = _process_rewards(cfg, rewards)
 
             # episodic bookkeeping: accumulate, emit on done, reset accumulators

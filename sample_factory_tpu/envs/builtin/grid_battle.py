@@ -31,6 +31,9 @@ class GridBattleEnv(DeviceEnv):
         self.obs_space = make_dict_spec({"obs": Box((size, size, 3), 0.0, 1.0)})
         self.action_space = Discrete(6)
         self.reward_shaping = {"kill_reward": 1.0, "hit_penalty": 0.2}
+        # shaping coefficients enter step_shaped as runtime scalars, so PBT
+        # mutations never trigger recompilation
+        self.supports_dynamic_shaping = True
 
     def update_reward_shaping(self, reward_shaping):
         env = GridBattleEnv(self.size, self.num_enemies, self.episode_len, self.shoot_range)
@@ -65,6 +68,10 @@ class GridBattleEnv(DeviceEnv):
         return self._render_obs(state), state
 
     def step(self, key, state, action):
+        shaping = {k: jnp.asarray(v, jnp.float32) for k, v in self.reward_shaping.items()}
+        return self.step_shaped(key, state, action, shaping)
+
+    def step_shaped(self, key, state, action, shaping):
         a = action[..., 0].astype(jnp.int32) if action.ndim > 0 else action.astype(jnp.int32)
         k_move, k_spawn = jax.random.split(key)
 
@@ -99,8 +106,8 @@ class GridBattleEnv(DeviceEnv):
         alive = alive | respawn
 
         reward = (
-            kills.astype(jnp.float32) * self.reward_shaping["kill_reward"]
-            - self.reward_shaping["hit_penalty"] * contact.astype(jnp.float32)
+            kills.astype(jnp.float32) * shaping["kill_reward"]
+            - shaping["hit_penalty"] * contact.astype(jnp.float32)
         )
         steps = state["steps"] + 1
         terminated = health <= 0.0

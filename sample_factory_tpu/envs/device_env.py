@@ -42,6 +42,9 @@ class DeviceEnv:
     frameskip: int = 1
     # optional reward shaping dict exposed to PBT (reference RewardShapingInterface)
     reward_shaping: Dict[str, float] = {}
+    # True when step_shaped consumes shaping as RUNTIME arrays — PBT can then
+    # mutate shaping between iterations without recompiling the rollout
+    supports_dynamic_shaping: bool = False
 
     def reset(self, key) -> Tuple[Dict[str, jnp.ndarray], Any]:
         raise NotImplementedError
@@ -49,8 +52,15 @@ class DeviceEnv:
     def step(self, key, state, action):
         raise NotImplementedError
 
+    def step_shaped(self, key, state, action, shaping: Dict[str, jnp.ndarray]):
+        """step() with reward-shaping coefficients passed as runtime scalars
+        (traced values, not Python floats). Envs that support PBT reward
+        shaping on device override this and set supports_dynamic_shaping."""
+        return self.step(key, state, action)
+
     def update_reward_shaping(self, reward_shaping: Dict[str, float]) -> "DeviceEnv":
-        """Return a copy with new shaping params (PBT hook); default: no-op."""
+        """Return a copy with new shaping params (PBT hook); default: no-op.
+        Static fallback — triggers recompilation; prefer step_shaped."""
         return self
 
     def render_frame(self, state):
@@ -58,7 +68,7 @@ class DeviceEnv:
         return None
 
 
-def autoreset_step(env: DeviceEnv, key, state, action):
+def autoreset_step(env: DeviceEnv, key, state, action, shaping=None):
     """Step + masked auto-reset on episode end.
 
     Returns (obs, state, reward, done, info) where `info` contains at least
@@ -66,7 +76,10 @@ def autoreset_step(env: DeviceEnv, key, state, action):
     value bootstrap, reference learner.py:984-990).
     """
     step_key, reset_key = jax.random.split(key)
-    obs, new_state, reward, terminated, truncated, info = env.step(step_key, state, action)
+    if shaping is not None and env.supports_dynamic_shaping:
+        obs, new_state, reward, terminated, truncated, info = env.step_shaped(step_key, state, action, shaping)
+    else:
+        obs, new_state, reward, terminated, truncated, info = env.step(step_key, state, action)
     done = jnp.logical_or(terminated, truncated)
 
     reset_obs, reset_state = env.reset(reset_key)
@@ -90,7 +103,9 @@ def vector_reset(env: DeviceEnv, key, num_envs: int):
     return jax.vmap(env.reset)(keys)
 
 
-def vector_step(env: DeviceEnv, key, states, actions):
+def vector_step(env: DeviceEnv, key, states, actions, shaping=None):
     num_envs = jax.tree.leaves(states)[0].shape[0]
     keys = jax.random.split(key, num_envs)
-    return jax.vmap(lambda k, s, a: autoreset_step(env, k, s, a))(keys, states, actions)
+    # shaping is shared across the env vector (per-policy, not per-env): close
+    # over it instead of vmapping it
+    return jax.vmap(lambda k, s, a: autoreset_step(env, k, s, a, shaping))(keys, states, actions)

@@ -113,7 +113,9 @@ class MultiPolicyRunner(Runner):
         self._policy_ids = jnp.arange(self.P, dtype=jnp.int32)
 
         if cfg.with_pbt:
-            self.pbt = PopulationBasedTraining(cfg, self.P)
+            self.pbt = PopulationBasedTraining(
+                cfg, self.P, default_reward_shaping=self.env_info.reward_shaping_scheme
+            )
         log.info(
             "MultiPolicyRunner: %d policies x %d envs, PBT=%s", self.P, B, bool(cfg.with_pbt)
         )
@@ -142,6 +144,7 @@ class MultiPolicyRunner(Runner):
                     per_policy_steps = [self.env_steps // self.P] * self.P
                     objectives = [es.avg_reward for es in self.episode_stats_per_policy]
                     self.train_state = self.pbt.on_training_step(self.train_state, per_policy_steps, objectives)
+                    self._apply_shaping_updates()
 
                 self._periodic_tasks(stats)
                 self._notify_observers(stats)
@@ -158,6 +161,28 @@ class MultiPolicyRunner(Runner):
         return status
 
     # ------------------------------------------------------------- internals
+
+    def _apply_shaping_updates(self) -> None:
+        """Write PBT-mutated reward-shaping coefficients into the affected
+        policy's row of the stacked sampler state (runtime scalars read by
+        env.step_shaped — no recompilation)."""
+        if not self.pbt.pending_shaping_updates:
+            return
+        if self.sampler_state.shaping is None:
+            log.warning(
+                "PBT mutated reward shaping but env %s has no dynamic shaping support; ignored",
+                self.cfg.env,
+            )
+            self.pbt.pending_shaping_updates.clear()
+            return
+        shaping = self.sampler_state.shaping
+        for policy_id, new_values in self.pbt.pending_shaping_updates:
+            shaping = {
+                k: (v.at[policy_id].set(float(new_values[k])) if k in new_values else v)
+                for k, v in shaping.items()
+            }
+        self.sampler_state = self.sampler_state.replace(shaping=shaping)
+        self.pbt.pending_shaping_updates.clear()
 
     def _process_population_stats(self, stats, ep_stats) -> None:
         now = time.time()

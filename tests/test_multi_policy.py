@@ -93,3 +93,48 @@ def test_pbt_weight_replacement_unit():
     np.testing.assert_allclose(np.asarray(ts2.params["w"][2]), 0.0)
     np.testing.assert_allclose(np.asarray(ts2.params["w"][1]), 1.0)  # untouched
     assert int(ts2.train_step[2]) == cfg.max_policy_lag + 1
+
+
+def test_device_env_pbt_reward_shaping(tmp_path):
+    """PBT reward-shaping mutation on a device env: shaping coefficients are
+    runtime scalars in the sampler state (no recompile), mutated rows land in
+    policy_XX_reward_shaping.json (reference pbt writes the same files)."""
+    import glob
+    import json
+    from os.path import join
+
+    from sf_examples_tpu.train_synthetic import parse_custom_args as parse_synth
+
+    argv = [
+        "--env=grid_battle_small",
+        "--experiment=gb_pbt",
+        f"--train_dir={tmp_path}",
+        "--seed=0",
+        "--device=cpu",
+        "--num_policies=2",
+        "--num_workers=2",
+        "--num_envs_per_worker=16",
+        "--rollout=16",
+        "--batch_size=128",
+        "--encoder_conv_architecture=convnet_impala",
+        "--encoder_conv_mlp_layers", "32",
+        "--use_rnn=False",
+        "--train_for_env_steps=40000",
+        "--with_pbt=True",
+        "--pbt_start_mutation=2000",
+        "--pbt_period_env_steps=4000",
+        "--pbt_mutation_rate=1.0",
+        "--pbt_replace_fraction=0.5",
+        "--save_every_sec=5",
+    ]
+    cfg = parse_synth(argv)
+    assert run_rl(cfg) == 0
+
+    shaping_files = glob.glob(join(str(tmp_path), "gb_pbt", "policy_*_reward_shaping.json"))
+    assert shaping_files, "PBT never wrote mutated reward shaping for the device env"
+    shaping = json.load(open(shaping_files[0]))
+    assert set(shaping) == {"kill_reward", "hit_penalty"}
+    # with mutation_rate=1.0 some non-protected policy's shaping must have
+    # actually moved off the defaults
+    mutated = [json.load(open(f)) for f in shaping_files if "policy_00" not in f]
+    assert any(s != {"kill_reward": 1.0, "hit_penalty": 0.2} for s in mutated)
