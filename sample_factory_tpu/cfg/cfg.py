@@ -308,6 +308,12 @@ def add_tpu_args(p: ArgumentParser) -> None:
     )
     p.add_argument("--mesh_model", default=1, type=int, help="Devices on the 'model' mesh axis (tensor parallelism)")
     p.add_argument(
+        "--tp_min_layer_width",
+        default=512,
+        type=int,
+        help="Smallest feature width sharded over the 'model' axis when mesh_model > 1",
+    )
+    p.add_argument(
         "--compute_dtype",
         default="float32",
         choices=["float32", "bfloat16"],

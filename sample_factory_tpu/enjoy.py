@@ -35,6 +35,9 @@ def enjoy(cfg, num_episodes: Optional[int] = None, num_envs: int = 16, collect_e
     """Returns (status, avg_episode_reward). If collect_episodes is a list, it
     is filled with per-episode (reward, length) tuples. Dispatches to the
     host-env loop for gymnasium envs."""
+    from sample_factory_tpu.utils.utils import configure_jax_platform
+
+    configure_jax_platform(cfg)
     cfg = load_from_checkpoint(cfg)
     eval_deterministic = cfg.eval_deterministic
     max_episodes = num_episodes if num_episodes is not None else min(cfg.max_num_episodes, 100)

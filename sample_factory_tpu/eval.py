@@ -69,6 +69,9 @@ def _eval_host_env(cfg, num_episodes: int, register_fn=None) -> List[Tuple[float
 
 
 def do_eval(cfg, register_fn=None) -> int:
+    from sample_factory_tpu.utils.utils import configure_jax_platform
+
+    configure_jax_platform(cfg)
     cfg = load_from_checkpoint(cfg)
     num_episodes = int(cfg.sample_env_episodes)
 

@@ -50,6 +50,9 @@ def build_inference_fn(cfg, env_info, model, ts, deterministic: bool = True):
 
 def export_model(cfg, batch_size: int = 1, output_path: Optional[str] = None) -> str:
     """Serialize the policy to a StableHLO artifact via jax.export."""
+    from sample_factory_tpu.utils.utils import configure_jax_platform
+
+    configure_jax_platform(cfg)
     cfg = load_from_checkpoint(cfg)
     env_info = obtain_env_info(cfg)
     model = create_actor_critic(cfg, env_info.obs_space, env_info.action_space)

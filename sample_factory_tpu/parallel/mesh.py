@@ -66,5 +66,34 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
 
 
+def shard_params_tp(tree: Any, mesh: Mesh, min_width: int = 512) -> Any:
+    """Tensor parallelism: place wide layers' parameters sharded over 'model'.
+
+    Shape-based GSPMD placement hints (the reference has no TP at all,
+    SURVEY.md §2.3 — this is a new capability): the output/feature axis (last
+    dim) of any kernel that is wide enough and divides evenly is sharded over
+    the 'model' mesh axis; matching-width 1-D leaves (biases, scales) are
+    sharded the same way; everything else is replicated. The SPMD partitioner
+    propagates these shardings through the jitted step and inserts the
+    collectives, so correctness never depends on the heuristic — only layout
+    efficiency does. Optimizer-state leaves mirror parameter shapes and pick
+    up identical placements.
+    """
+    shards = mesh.shape[MODEL_AXIS]
+    if shards <= 1:
+        return replicate_tree(tree, mesh)
+
+    def place(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return jax.device_put(x, replicated(mesh))
+        width = x.shape[-1] if x.ndim >= 2 else x.shape[0]
+        if width >= min_width and width % shards == 0:
+            spec = P(*([None] * (x.ndim - 1)), MODEL_AXIS)
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(place, tree)
+
+
 def num_data_shards(mesh: Optional[Mesh]) -> int:
     return mesh.shape[DATA_AXIS] if mesh is not None else 1

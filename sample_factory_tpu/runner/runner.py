@@ -33,7 +33,13 @@ from sample_factory_tpu.envs.device_env import DeviceEnv
 from sample_factory_tpu.envs.env_info import EnvInfo, extract_env_info
 from sample_factory_tpu.envs.env_utils import create_env
 from sample_factory_tpu.models.actor_critic import create_actor_critic
-from sample_factory_tpu.parallel.mesh import make_mesh, num_data_shards, replicate_tree, shard_env_axis
+from sample_factory_tpu.parallel.mesh import (
+    make_mesh,
+    num_data_shards,
+    replicate_tree,
+    shard_env_axis,
+    shard_params_tp,
+)
 from sample_factory_tpu.runner.checkpoint import load_checkpoint, save_checkpoint
 from sample_factory_tpu.runner.stats import EpisodeStats, FpsTracker, SummaryWriter
 from sample_factory_tpu.utils.timing import Timing
@@ -145,8 +151,13 @@ class Runner:
         if restored is not None:
             train_state, self.env_steps, self.best_performance = restored
 
-        # place on the mesh: train state replicated, env/sampler state sharded over 'data'
-        self.train_state = replicate_tree(train_state, self.mesh)
+        # place on the mesh: train state replicated over 'data' (wide layers
+        # sharded over 'model' when tensor parallelism is on), env/sampler
+        # state sharded over 'data'
+        if self.mesh.shape["model"] > 1:
+            self.train_state = shard_params_tp(train_state, self.mesh, cfg.tp_min_layer_width)
+        else:
+            self.train_state = replicate_tree(train_state, self.mesh)
         self.sampler_state = shard_env_axis(sampler_state, self.mesh)
         self.behavior_params = self.train_state.params
         self.behavior_version = self.train_state.train_step

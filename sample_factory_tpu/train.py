@@ -10,10 +10,11 @@ import os
 
 from sample_factory_tpu.cfg.arguments import maybe_load_from_checkpoint, verify_cfg
 from sample_factory_tpu.runner.runner import Runner, make_runner
-from sample_factory_tpu.utils.utils import cfg_file, log
+from sample_factory_tpu.utils.utils import cfg_file, configure_jax_platform, log
 
 
 def run_rl(cfg, register_fn=None) -> int:
+    configure_jax_platform(cfg)
     if cfg.restart_behavior == "resume" and os.path.isfile(cfg_file(cfg)):
         cfg = maybe_load_from_checkpoint(cfg)
     elif cfg.restart_behavior == "restart" and os.path.isfile(cfg_file(cfg)):

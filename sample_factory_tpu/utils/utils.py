@@ -144,3 +144,31 @@ def git_info() -> Dict[str, str]:
         return {"git_hash": sha}
     except Exception:
         return {}
+
+
+def configure_jax_platform(cfg) -> None:
+    """Apply --device before the first backend use (reference pins GPUs by
+    rewriting CUDA_VISIBLE_DEVICES per process, utils/gpu_utils.py:62-90; the
+    JAX equivalent is selecting the platform). Platform choice is frozen at
+    backend initialization, so this must run before any jax.devices() /
+    computation. 'tpu' and 'auto' keep the environment's default backend
+    (TPU plugins may register under a vendor platform name)."""
+    device = getattr(cfg, "device", "auto")
+    if device in (None, "auto", "tpu"):
+        return
+    import jax
+
+    target = {"cpu": "cpu", "gpu": "cuda"}[device]
+    try:
+        jax.config.update("jax_platforms", target)
+    except Exception as e:  # noqa: BLE001
+        log.warning("Could not select platform %s: %s", target, e)
+        return
+    platform = jax.devices()[0].platform
+    if platform != target and not (target == "cuda" and platform == "gpu"):
+        log.warning(
+            "--device=%s requested but the active platform is %s "
+            "(backend was already initialized before run_rl?)",
+            device,
+            platform,
+        )
