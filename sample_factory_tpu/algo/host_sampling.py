@@ -207,12 +207,17 @@ class EnvSlotStepper:
                             obs = obs2
                     self._write_obs(s, e, obs)
 
-    def step_split(self, split: int) -> List[Tuple[float, int]]:
+    def step_split(self, split: int) -> List[Tuple[float, int, Optional[Dict[str, Any]]]]:
         """Step all envs of a split using the actions slab; returns completed
-        episodes as (return, length) tuples."""
+        episodes as (return, length, episode_extra_stats-or-None) tuples.
+
+        `episode_extra_stats` is the reference's per-episode custom-summaries
+        channel (env info dict key, e.g. DMLab raw scores in
+        sf_examples/dmlab/wrappers/reward_shaping.py:32-38); it rides the
+        completed-episode message back to the runner's stats handlers."""
         arrays = self.slabs.arrays
         actions = arrays["actions"][self.w, split]
-        completed: List[Tuple[float, int]] = []
+        completed: List[Tuple[float, int, Optional[Dict[str, Any]]]] = []
         for e in range(self.E):
             env = self.envs[split][e]
             if self.multiagent:
@@ -231,7 +236,8 @@ class EnvSlotStepper:
                 if all_done:
                     for a in range(self.A):
                         slot = e * self.A + a
-                        completed.append((float(self.ep_returns[split, slot]), int(self.ep_lens[split, slot])))
+                        extras = infos[a].get("episode_extra_stats") if isinstance(infos[a], dict) else None
+                        completed.append((float(self.ep_returns[split, slot]), int(self.ep_lens[split, slot]), extras))
                         self.ep_returns[split, slot] = 0.0
                         self.ep_lens[split, slot] = 0
                     obs_list, _ = env.reset()
@@ -243,7 +249,8 @@ class EnvSlotStepper:
                 self.ep_returns[split, e] += reward
                 self.ep_lens[split, e] += 1
                 if terminated or truncated:
-                    completed.append((float(self.ep_returns[split, e]), int(self.ep_lens[split, e])))
+                    extras = info.get("episode_extra_stats") if isinstance(info, dict) else None
+                    completed.append((float(self.ep_returns[split, e]), int(self.ep_lens[split, e]), extras))
                     self.ep_returns[split, e] = 0.0
                     self.ep_lens[split, e] = 0
                     obs, _ = env.reset()
@@ -384,6 +391,7 @@ class HostVectorSampler:
         self._policy_step = self._build_policy_step()
         self._policy_step_multi = self._build_policy_step_multi()
         self.episodic: List[Tuple[float, int]] = []
+        self.episodic_extras: List[Dict[str, Any]] = []  # episode_extra_stats dicts
 
     # ------------------------------------------------------------- lifecycle
 
@@ -550,12 +558,18 @@ class HostVectorSampler:
                     continue
                 self._ready_counts[msg[1]] = self._ready_counts.get(msg[1], 0) + 1
                 self.last_heartbeat[w] = time.time()
-                self.episodic.extend(msg[2])
+                self._record_completed(msg[2])
         self._ready_counts[split] -= self.W
+
+    def _record_completed(self, completed) -> None:
+        for r, length, extras in completed:
+            self.episodic.append((r, length))
+            if extras:
+                self.episodic_extras.append(extras)
 
     def _serial_step(self, split: int) -> None:
         for stepper in self.serial_steppers:
-            self.episodic.extend(stepper.step_split(split))
+            self._record_completed(stepper.step_split(split))
 
     def set_reward_shaping(self, shaping: Dict[str, Any], slot_mask=None) -> None:
         """Push PBT-mutated reward shaping to the envs. slot_mask
@@ -590,6 +604,7 @@ class HostVectorSampler:
         T = cfg.rollout
         transitions: List[List[Dict[str, Any]]] = [[] for _ in range(self.K)]
         self.episodic = []
+        self.episodic_extras = []
 
         for t in range(T):
             for s in range(self.K):
@@ -613,6 +628,7 @@ class HostVectorSampler:
             "return_sum": float(sum(r for r, _ in self.episodic)),
             "raw_return_sum": float(sum(r for r, _ in self.episodic)),
             "len_sum": float(sum(l for _, l in self.episodic)),
+            "extra_stats": list(self.episodic_extras),
         }
         return traj, stats
 

@@ -257,3 +257,28 @@ def enjoy_host(cfg, max_episodes: int, collect_episodes: Optional[list] = None) 
         push_to_hf(experiment_dir(cfg), cfg.hf_repository)
 
     return 0, avg_reward
+
+
+def main() -> int:
+    """Generic CLI: visualize any registered env, or a plain gymnasium env by
+    id (reference keeps enjoy as a library + per-env scripts; this entry covers
+    `python -m sample_factory_tpu.enjoy --env=<gym id>` for convenience)."""
+    import sys
+
+    from sample_factory_tpu.algo.context import global_env_registry
+    from sample_factory_tpu.cfg.arguments import parse_full_cfg, parse_sf_args
+
+    parser, partial_cfg = parse_sf_args(evaluation=True)
+    cfg = parse_full_cfg(parser)
+    if cfg.env not in global_env_registry():
+        from sf_examples_tpu.train_gym_env import register_gym_env
+
+        register_gym_env(cfg.env)
+    status, _ = enjoy(cfg)
+    return status
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -105,3 +105,27 @@ def do_eval(cfg, register_fn=None) -> int:
             writer.writerow([i, r, l])
     log.info("Wrote %s", out_path)
     return 0
+
+
+def main() -> int:
+    """Generic CLI analog of reference eval.py (fast parallel eval -> CSV)."""
+    from sample_factory_tpu.algo.context import global_env_registry
+    from sample_factory_tpu.cfg.arguments import parse_full_cfg, parse_sf_args
+
+    parser, partial_cfg = parse_sf_args(evaluation=True)
+    cfg = parse_full_cfg(parser)
+    register_fn = None
+    if cfg.env not in global_env_registry():
+        import functools
+
+        from sf_examples_tpu.train_gym_env import register_gym_env
+
+        register_fn = functools.partial(register_gym_env, cfg.env)
+        register_fn()
+    return do_eval(cfg, register_fn=register_fn)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

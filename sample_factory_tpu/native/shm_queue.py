@@ -164,7 +164,13 @@ class ShmQueue:
         raw = self._recv_buf.raw
         for i in range(count.value):
             sz = self._recv_sizes[i]
-            out.append(pickle.loads(raw[offset : offset + sz]))
+            try:
+                out.append(pickle.loads(raw[offset : offset + sz]))
+            except Exception as e:  # noqa: BLE001
+                # a peer killed mid-put (robust mutex recovered with a
+                # partially written message) surfaces as corrupt pickle bytes;
+                # report it as a peer failure, not a decode bug
+                raise RuntimeError(f"shm queue {self.name}: corrupt message (peer died mid-write?): {e}") from e
             offset += sz
         return out
 

@@ -142,7 +142,7 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
 
                 if self.pbt is not None:
                     per_policy_steps = [self.env_steps // self.P] * self.P
-                    objectives = [es.avg_reward for es in self.episode_stats_per_policy]
+                    objectives = self._pbt_objectives()
                     self.train_state = self.pbt.on_training_step(self.train_state, per_policy_steps, objectives)
                     # push mutated reward shaping to the envs of affected policies
                     for policy_id, shaping in self.pbt.pending_shaping_updates:
@@ -166,6 +166,16 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
         log.info("Self-play training finished at %d env steps", self.env_steps)
         return status
 
+    def _pbt_objectives(self):
+        """Per-policy PBT target metric: a custom stat registered in
+        policy_avg_stats under cfg.pbt_target_objective (reference
+        pbt_target_objective flag, e.g. dmlab_target_objective), falling back
+        to the windowed episodic reward (reference 'true_objective' default)."""
+        custom = self.policy_avg_stats.get(self.cfg.pbt_target_objective)
+        if custom is not None:
+            return [float(np.mean(custom[p])) if len(custom[p]) else None for p in range(self.P)]
+        return [es.avg_reward for es in self.episode_stats_per_policy]
+
     def _process_selfplay_stats(self, stats, ep_stats) -> None:
         now = time.time()
         self.fps_tracker.add(now, self.env_steps)
@@ -175,4 +185,10 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
         for p in range(self.P):
             share = float(np.mean(self.slot_policies.reshape(-1) == p))
             self.episode_stats_per_policy[p].add_rollout_stats(n * share, ret * share, length * share)
+        extras = ep_stats.get("extra_stats") if isinstance(ep_stats, dict) else None
+        if extras and self.episodic_stats_handlers:
+            # self-play episodes complete per env (agents may belong to several
+            # policies); attribute extras to policy 0's stream like the
+            # reference does for env-level stats
+            self._dispatch_extra_stats(extras, 0)
         self._last_stats = stats

@@ -133,4 +133,7 @@ class HostEnvRunner(Runner):
         now = time.time()
         self.fps_tracker.add(now, self.env_steps)
         self.episode_stats.add_rollout_stats(ep_stats["count"], ep_stats["return_sum"], ep_stats["len_sum"])
+        extras = ep_stats.get("extra_stats")
+        if extras and self.episodic_stats_handlers:
+            self._dispatch_extra_stats(extras, self.policy_id)
         self._last_stats = stats

@@ -142,7 +142,7 @@ class MultiPolicyRunner(Runner):
 
                 if self.pbt is not None:
                     per_policy_steps = [self.env_steps // self.P] * self.P
-                    objectives = [es.avg_reward for es in self.episode_stats_per_policy]
+                    objectives = self._pbt_objectives()
                     self.train_state = self.pbt.on_training_step(self.train_state, per_policy_steps, objectives)
                     self._apply_shaping_updates()
 
@@ -184,6 +184,16 @@ class MultiPolicyRunner(Runner):
         self.sampler_state = self.sampler_state.replace(shaping=shaping)
         self.pbt.pending_shaping_updates.clear()
 
+    def _pbt_objectives(self):
+        """Custom PBT target stat from policy_avg_stats (cfg.pbt_target_objective,
+        reference pbt/population_based_training.py), else windowed reward."""
+        import numpy as np
+
+        custom = self.policy_avg_stats.get(self.cfg.pbt_target_objective)
+        if custom is not None:
+            return [float(np.mean(custom[p])) if len(custom[p]) else None for p in range(self.P)]
+        return [es.avg_reward for es in self.episode_stats_per_policy]
+
     def _process_population_stats(self, stats, ep_stats) -> None:
         now = time.time()
         self.fps_tracker.add(now, self.env_steps)
@@ -213,6 +223,8 @@ class MultiPolicyRunner(Runner):
                 for name, value in self.pbt.policy_hparams[p].items():
                     scalars[f"pbt_{name}"] = value
             self.writers[p].write(self.env_steps, scalars)
+            for obs in self.observers:
+                obs.extra_summaries(self, p, self.writers[p], self.env_steps)
             self.writers[p].flush()
 
     def _save(self, is_final: bool = False, milestone: bool = False) -> None:

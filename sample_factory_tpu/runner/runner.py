@@ -61,6 +61,10 @@ class AlgoObserver:
     def on_training_iteration(self, runner, stats) -> None:
         """Called after every training iteration (stats are device arrays)."""
 
+    def extra_summaries(self, runner, policy_id: int, writer, env_steps: int) -> None:
+        """Called at every summary report; write custom scalars to the writer
+        (reference runner.py:70-73 AlgoObserver.extra_summaries)."""
+
     def on_stop(self, runner) -> None:
         pass
 
@@ -73,6 +77,10 @@ class Runner:
         self.policy_id = 0
         self.timing = Timing("runner")
         self.observers: list = []
+        # custom per-episode stats plumbing (reference runner.py episodic-stats
+        # handlers + policy_avg_stats used by PBT custom target objectives)
+        self.episodic_stats_handlers: list = []
+        self.policy_avg_stats: Dict[str, Any] = {}
 
         self.env: Optional[DeviceEnv] = None
         self.env_info: Optional[EnvInfo] = None
@@ -247,6 +255,17 @@ class Runner:
     def register_observer(self, observer: AlgoObserver) -> None:
         self.observers.append(observer)
 
+    def register_episodic_stats_handler(self, fn) -> None:
+        """fn(runner, extra_stats: Dict[str, float], policy_id) is called once
+        per completed episode that carried `episode_extra_stats` in its final
+        info dict (reference Runner.register_episodic_stats_handler)."""
+        self.episodic_stats_handlers.append(fn)
+
+    def _dispatch_extra_stats(self, extra_stats_list, policy_id: int) -> None:
+        for extras in extra_stats_list:
+            for handler in self.episodic_stats_handlers:
+                handler(self, extras, policy_id)
+
     def _notify_observers(self, stats) -> None:
         for obs in self.observers:
             obs.on_training_iteration(self, stats)
@@ -308,6 +327,8 @@ class Runner:
             scalars["reward"] = avg_r
             scalars["episode_len"] = avg_len
         self.writer.write(self.env_steps, scalars)
+        for obs in self.observers:
+            obs.extra_summaries(self, self.policy_id, self.writer, self.env_steps)
         self.writer.flush()
 
     def _save(self, is_final: bool = False, milestone: bool = False) -> None:

@@ -92,6 +92,13 @@ class SummaryWriter:
             for k, v in scalars.items():
                 self._tb.add_scalar(f"{prefix}/{k}", v, env_steps)
 
+    def add_scalar(self, key: str, value: float, env_steps: int) -> None:
+        """tensorboardX-compatible single-scalar write (used by AlgoObserver
+        extra_summaries hooks, reference runner.py:70-73)."""
+        self._jsonl.write(json.dumps({"env_steps": env_steps, "time": time.time(), key: float(value)}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(key, value, env_steps)
+
     def flush(self) -> None:
         self._jsonl.flush()
         if self._tb is not None:
