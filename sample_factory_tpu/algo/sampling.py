@@ -157,16 +157,25 @@ def make_rollout_fn(cfg, env: DeviceEnv, env_info, model) -> Callable:
 
 
 def _static_preprocess(cfg, obs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-    """Static obs preprocessing: cast + subtract-mean/scale (reference
-    utils/normalize.py:24-46, --obs_subtract_mean/--obs_scale)."""
+    """Static obs preprocessing: cast + subtract-mean/scale.
+
+    Like the reference (utils/normalize.py:60-67), sub-mean/scale apply ONLY to
+    the default "obs" key. Integer observations (token ids, e.g. DMLab INSTR)
+    are passed through untouched so encoders can feed them to embedding
+    lookups (the reference routes these around the normalizer with per-input
+    dtype hooks, model/actor_critic.py:64-71)."""
     sub, scale = cfg.obs_subtract_mean, cfg.obs_scale
     out = {}
     for k, v in obs.items():
+        if jnp.issubdtype(v.dtype, jnp.integer) and k != "obs":
+            out[k] = v
+            continue
         x = v.astype(jnp.float32)
-        if sub != 0.0:
-            x = x - sub
-        if scale != 1.0:
-            x = x / scale
+        if k == "obs":
+            if sub != 0.0:
+                x = x - sub
+            if scale != 1.0:
+                x = x / scale
         out[k] = x
     return out
 

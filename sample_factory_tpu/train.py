@@ -13,7 +13,13 @@ from sample_factory_tpu.runner.runner import Runner, make_runner
 from sample_factory_tpu.utils.utils import cfg_file, configure_jax_platform, log
 
 
-def run_rl(cfg, register_fn=None) -> int:
+def make_rl_runner(cfg, register_fn=None):
+    """Resolve config + build (but do not init) the right runner for cfg.
+
+    Returns (cfg, runner). Use this instead of run_rl to register custom
+    AlgoObservers / episodic-stats handlers before training starts (the
+    reference exposes the same seam as train.py make_runner, used by
+    sf_examples/dmlab/train_dmlab.py:79-95)."""
     configure_jax_platform(cfg)
     if cfg.restart_behavior == "resume" and os.path.isfile(cfg_file(cfg)):
         cfg = maybe_load_from_checkpoint(cfg)
@@ -50,6 +56,11 @@ def run_rl(cfg, register_fn=None) -> int:
         from sample_factory_tpu.runner.host_runner import HostEnvRunner
 
         runner = HostEnvRunner(cfg, register_fn=register_fn)
+    return cfg, runner
+
+
+def run_rl(cfg, register_fn=None) -> int:
+    _, runner = make_rl_runner(cfg, register_fn=register_fn)
     runner.init()
     status = runner.run()
     return status
