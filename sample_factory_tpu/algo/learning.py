@@ -333,15 +333,40 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
 
             return jax.tree.map(gather, dataset)
 
-        stats = None
-        for epoch in range(cfg.num_epochs):
+        def run_epoch(ts, key):
             key, k_epoch, k_mb = jax.random.split(key, 3)
             minibatches = make_epoch_minibatches(k_epoch)
             mb_keys = jax.random.split(k_mb, num_minibatches)
             (ts, _), aux_seq = jax.lax.scan(sgd_step, (ts, valid_frac), (minibatches, mb_keys))
             ts = ts.replace(curr_lr=lr_after_epoch(cfg, ts.curr_lr, jnp.mean(aux_seq["kl_divergence"])))
-            stats = {k: v[-1] for k, v in aux_seq.items()}  # summaries from the last minibatch
+            return ts, aux_seq
 
+        # epoch 0 always runs; subsequent epochs early-stop when the mean
+        # policy loss plateaus (reference learner.py:676,827-837: tolerance
+        # 1e-6 on the epoch-mean actor loss). Under jit the loop is unrolled
+        # statically, so the skip is a lax.cond (no compute at runtime, not
+        # a shorter program).
+        early_stopping_tolerance = 1e-6
+        ts, aux_seq = run_epoch(ts, key)
+        prev_epoch_loss = jnp.mean(aux_seq["policy_loss"])
+        stop = jnp.zeros((), bool)
+        epochs_executed = jnp.ones((), jnp.int32)
+        for _ in range(1, cfg.num_epochs):
+            key, k = jax.random.split(key)
+            ran = 1 - stop.astype(jnp.int32)
+            ts, aux_seq = jax.lax.cond(
+                stop,
+                lambda operand: operand[:2],  # skip: keep state + previous epoch's aux
+                lambda operand: run_epoch(operand[0], operand[2]),
+                (ts, aux_seq, k),
+            )
+            epoch_loss = jnp.mean(aux_seq["policy_loss"])
+            stop = jnp.logical_or(stop, jnp.abs(prev_epoch_loss - epoch_loss) < early_stopping_tolerance)
+            prev_epoch_loss = epoch_loss
+            epochs_executed = epochs_executed + ran
+
+        stats = {k: v[-1] for k, v in aux_seq.items()}  # summaries from the last executed minibatch
+        stats["epochs_executed"] = epochs_executed
         stats["valids_fraction"] = valid_frac
         stats["lr"] = ts.curr_lr
         stats["version_diff_max"] = jnp.max(ts.train_step - traj["policy_version"])

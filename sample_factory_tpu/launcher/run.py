@@ -13,6 +13,7 @@ import argparse
 import importlib
 import sys
 
+from sample_factory_tpu.launcher.run_ngc import add_ngc_args, run_ngc
 from sample_factory_tpu.launcher.run_processes import add_os_parallelism_args, run as run_processes
 from sample_factory_tpu.launcher.run_slurm import add_slurm_args, run_slurm
 from sample_factory_tpu.utils.utils import log
@@ -23,10 +24,11 @@ def launcher_argparser(args) -> argparse.ArgumentParser:
     parser.add_argument("--train_dir", default="./train_dir", type=str, help="Root experiments dir")
     parser.add_argument("--run", default=None, type=str, required=True,
                         help="Module name containing RUN_DESCRIPTION (e.g. sf_examples_tpu.mujoco.experiments.mujoco_all_envs)")
-    parser.add_argument("--backend", default="processes", choices=["processes", "slurm"])
+    parser.add_argument("--backend", default="processes", choices=["processes", "slurm", "ngc"])
     parser.add_argument("--experiment_suffix", default="", type=str)
     parser = add_os_parallelism_args(parser)
     parser = add_slurm_args(parser)
+    parser = add_ngc_args(parser)
     return parser
 
 
@@ -48,6 +50,8 @@ def main() -> int:
         return run_processes(run_description, args)
     if args.backend == "slurm":
         return run_slurm(run_description, args)
+    if args.backend == "ngc":
+        return run_ngc(run_description, args)
     return 1
 
 

@@ -46,3 +46,30 @@ def test_list_param_formatting(tmp_path):
     cmds = [c for c, *_ in rd.generate_experiments(str(tmp_path), makedirs=False)]
     assert "--encoder_mlp_layers=64 64" in cmds[0]
     assert "--encoder_mlp_layers=128" in cmds[1]
+
+
+def test_ngc_backend_templating(tmp_path, capsys):
+    """NGC backend renders {{ name }}/{{ experiment_cmd }} into the job template
+    (reference launcher/run_ngc.py behavior), print-only mode."""
+    import argparse
+
+    from sample_factory_tpu.launcher.run_ngc import render_job_command, run_ngc
+
+    template = tmp_path / "job.template"
+    template.write_text(
+        "ngc batch run --name {{ name }} \\\n  --image foo:latest \\\n  --commandline \"{{ experiment_cmd }}\"\n"
+    )
+    rendered = render_job_command(template.read_text(), "jobname", "python train.py --x=1")
+    assert rendered == 'ngc batch run --name jobname --image foo:latest --commandline "python train.py --x=1"'
+
+    grid = ParamGrid([("seed", [0, 1])])
+    exp = Experiment("ngc_exp", "python -m train", grid.generate_params(randomize=False))
+    rd = RunDescription("ngc_run", [exp])
+    args = argparse.Namespace(
+        train_dir=str(tmp_path), ngc_job_template=str(template), ngc_print_only=True, pause_between=0
+    )
+    assert run_ngc(rd, args) == 0
+
+    # missing template -> error
+    args.ngc_job_template = None
+    assert run_ngc(rd, args) == 1

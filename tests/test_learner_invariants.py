@@ -136,3 +136,25 @@ def test_lamb_optimizer_trains():
     a = jax.tree.leaves(ts.params)[0]
     b = jax.tree.leaves(ts2.params)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_early_stopping_on_plateau():
+    """Parity with reference learner.py:827-837: when the epoch-mean policy
+    loss stops changing (tolerance 1e-6), remaining epochs are skipped. With
+    lr=0 the params never change, so epoch 2 detects a plateau vs epoch 1 and
+    epochs 3-4 are skipped."""
+    frozen = ["--num_epochs=4", "--learning_rate=0.0", "--lr_schedule=constant"]
+    cfg, ts, traj, train, key = _setup(extra=frozen)
+    _, stats = jax.jit(train)(ts, traj, key)
+    assert int(stats["epochs_executed"]) == 2, f"expected early stop after 2 epochs, got {stats['epochs_executed']}"
+
+    # normal learning: losses move epoch to epoch, all epochs execute
+    cfg, ts, traj, train, key = _setup(extra=["--num_epochs=3", "--learning_rate=0.01"])
+    ts_out, stats = jax.jit(train)(ts, traj, key)
+    assert int(stats["epochs_executed"]) == 3
+    # and params actually changed
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts_out.params))
+    )
+    assert changed
