@@ -155,9 +155,18 @@ class EnvSlotStepper:
         self.multiagent = self.A > 1
         self.envs: List[List[Any]] = []
         slots = self.E * self.A
+        # processed (scaled/clipped, what the learner sees) and raw returns are
+        # tracked separately (reference batched_sampling.py episodic stats keep
+        # both; device sampler: sampling.py ep_return vs ep_return_raw)
         self.ep_returns = np.zeros((self.K, slots), np.float64)
+        self.ep_raw_returns = np.zeros((self.K, slots), np.float64)
         self.ep_lens = np.zeros((self.K, slots), np.int64)
+        self._r_scale = float(cfg.reward_scale)
+        self._r_clip = float(cfg.reward_clip)
         self.obs_keys = [k for k in slabs.arrays if k.startswith("obs_")]
+
+    def _proc_reward(self, r: float) -> float:
+        return float(np.clip(r * self._r_scale, -self._r_clip, self._r_clip))
 
     def create_envs(self) -> None:
         from sample_factory_tpu.envs.env_utils import create_env
@@ -227,7 +236,8 @@ class EnvSlotStepper:
                 all_done = all(bool(t) or bool(tr) for t, tr in zip(terms, truncs))
                 for a in range(self.A):
                     slot = e * self.A + a
-                    self.ep_returns[split, slot] += rewards[a]
+                    self.ep_returns[split, slot] += self._proc_reward(rewards[a])
+                    self.ep_raw_returns[split, slot] += rewards[a]
                     self.ep_lens[split, slot] += 1
                     arrays["rewards"][self.w, split, slot] = rewards[a]
                     arrays["terminated"][self.w, split, slot] = terms[a]
@@ -237,8 +247,16 @@ class EnvSlotStepper:
                     for a in range(self.A):
                         slot = e * self.A + a
                         extras = infos[a].get("episode_extra_stats") if isinstance(infos[a], dict) else None
-                        completed.append((float(self.ep_returns[split, slot]), int(self.ep_lens[split, slot]), extras))
+                        completed.append(
+                            (
+                                float(self.ep_returns[split, slot]),
+                                float(self.ep_raw_returns[split, slot]),
+                                int(self.ep_lens[split, slot]),
+                                extras,
+                            )
+                        )
                         self.ep_returns[split, slot] = 0.0
+                        self.ep_raw_returns[split, slot] = 0.0
                         self.ep_lens[split, slot] = 0
                     obs_list, _ = env.reset()
                 for a in range(self.A):
@@ -246,12 +264,21 @@ class EnvSlotStepper:
             else:
                 a = _convert_host_action(env.action_space, actions[e])
                 obs, reward, terminated, truncated, info = env.step(a)
-                self.ep_returns[split, e] += reward
+                self.ep_returns[split, e] += self._proc_reward(reward)
+                self.ep_raw_returns[split, e] += reward
                 self.ep_lens[split, e] += 1
                 if terminated or truncated:
                     extras = info.get("episode_extra_stats") if isinstance(info, dict) else None
-                    completed.append((float(self.ep_returns[split, e]), int(self.ep_lens[split, e]), extras))
+                    completed.append(
+                        (
+                            float(self.ep_returns[split, e]),
+                            float(self.ep_raw_returns[split, e]),
+                            int(self.ep_lens[split, e]),
+                            extras,
+                        )
+                    )
                     self.ep_returns[split, e] = 0.0
+                    self.ep_raw_returns[split, e] = 0.0
                     self.ep_lens[split, e] = 0
                     obs, _ = env.reset()
                 arrays["rewards"][self.w, split, e] = reward
@@ -390,7 +417,8 @@ class HostVectorSampler:
 
         self._policy_step = self._build_policy_step()
         self._policy_step_multi = self._build_policy_step_multi()
-        self.episodic: List[Tuple[float, int]] = []
+        self.episodic: List[Tuple[float, int]] = []  # (processed_return, length)
+        self._raw_return_sum = 0.0  # pre-scale/clip returns of completed episodes
         self.episodic_extras: List[Dict[str, Any]] = []  # episode_extra_stats dicts
 
     # ------------------------------------------------------------- lifecycle
@@ -562,8 +590,9 @@ class HostVectorSampler:
         self._ready_counts[split] -= self.W
 
     def _record_completed(self, completed) -> None:
-        for r, length, extras in completed:
+        for r, raw_r, length, extras in completed:
             self.episodic.append((r, length))
+            self._raw_return_sum += raw_r
             if extras:
                 self.episodic_extras.append(extras)
 
@@ -604,6 +633,7 @@ class HostVectorSampler:
         T = cfg.rollout
         transitions: List[List[Dict[str, Any]]] = [[] for _ in range(self.K)]
         self.episodic = []
+        self._raw_return_sum = 0.0
         self.episodic_extras = []
 
         for t in range(T):
@@ -626,7 +656,7 @@ class HostVectorSampler:
         stats = {
             "count": float(len(self.episodic)),
             "return_sum": float(sum(r for r, _ in self.episodic)),
-            "raw_return_sum": float(sum(r for r, _ in self.episodic)),
+            "raw_return_sum": float(self._raw_return_sum),
             "len_sum": float(sum(l for _, l in self.episodic)),
             "extra_stats": list(self.episodic_extras),
         }

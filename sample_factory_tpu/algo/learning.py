@@ -365,7 +365,13 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
             prev_epoch_loss = epoch_loss
             epochs_executed = epochs_executed + ran
 
-        stats = {k: v[-1] for k, v in aux_seq.items()}  # summaries from the last executed minibatch
+        # summaries from a RANDOM minibatch of the last executed epoch — the
+        # last slot would bias plateau/KL readings consumed by PBT and
+        # adaptive LR (reference learner.py:693-703 samples a random
+        # epoch/minibatch for summaries)
+        key, k_stats = jax.random.split(key)
+        mb_idx = jax.random.randint(k_stats, (), 0, aux_seq["loss"].shape[0])
+        stats = {k: v[mb_idx] for k, v in aux_seq.items()}
         stats["epochs_executed"] = epochs_executed
         stats["valids_fraction"] = valid_frac
         stats["lr"] = ts.curr_lr

@@ -32,7 +32,7 @@ class SyncSamplingAPI:
                  load_from_checkpoint: bool = False):
         self.cfg = cfg
         self.register_fn = register_fn
-        self.env_info = env_info or obtain_env_info(cfg)
+        self.env_info = env_info or obtain_env_info(cfg, register_fn=register_fn)
         self.model = create_actor_critic(cfg, self.env_info.obs_space, self.env_info.action_space)
         self.tx = make_optimizer(cfg)
         self.key = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)

@@ -67,11 +67,99 @@ def extract_env_info(env, cfg) -> EnvInfo:
     )
 
 
-def obtain_env_info(cfg) -> EnvInfo:
+def _probe_worker(cfg, register_payload, conn) -> None:
+    """Probe-process body: create one env, extract info, ship it back.
+
+    Runs with the CPU jax backend pinned so a device-env probe can never
+    contend for the TPU with the parent (the reference's reason to spawn —
+    engine/GL init must not pollute the trainer process, env_info.py:95-134).
+    """
+    try:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        import pickle
+
+        if register_payload is not None:
+            kind, data = register_payload
+            if kind == "call":
+                pickle.loads(data)()
+            else:  # ("register", pickled factory for cfg.env)
+                from sample_factory_tpu.envs.env_utils import register_env
+
+                register_env(cfg.env, pickle.loads(data))
+        env = create_env(cfg.env, cfg=cfg, env_config=None)
+        info = extract_env_info(env, cfg)
+        if hasattr(env, "close"):
+            try:
+                env.close()
+            except Exception:  # noqa: BLE001
+                pass
+        conn.send(("ok", info))
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        conn.send(("error", f"{e}\n{traceback.format_exc()}"))
+    finally:
+        conn.close()
+
+
+def _probe_in_process(cfg, register_fn=None) -> Optional[EnvInfo]:
+    """Spawn a throwaway process for the probe (reference
+    obtain_env_info_in_a_separate_process). Returns None when the probe
+    process fails for any reason (caller falls back to the inline probe)."""
+    import multiprocessing as mp
+    import pickle
+
+    try:
+        if register_fn is not None:
+            register_payload = ("call", pickle.dumps(register_fn))
+        else:
+            # propagate the factory registered in THIS process so the child
+            # can create the env (the registry is per-process state)
+            from sample_factory_tpu.algo.context import global_env_registry
+
+            entry = global_env_registry().get(cfg.env)
+            register_payload = ("register", pickle.dumps(entry.make_env_func)) if entry is not None else None
+        pickle.dumps(cfg)
+    except Exception:  # noqa: BLE001 - unpicklable cfg/factory: probe inline
+        return None
+
+    ctx = mp.get_context("spawn")
+    parent, child = ctx.Pipe()
+    p = ctx.Process(target=_probe_worker, args=(cfg, register_payload, child), daemon=True)
+    p.start()
+    child.close()
+    try:
+        if not parent.poll(180.0):
+            log.warning("env info probe process timed out; probing inline")
+            return None
+        status, payload = parent.recv()
+    except (EOFError, OSError):
+        log.warning("env info probe process died; probing inline")
+        return None
+    finally:
+        p.join(timeout=5)
+        if p.is_alive():
+            p.terminate()
+        parent.close()
+    if status != "ok":
+        log.warning("env info probe process failed (%s); probing inline", str(payload).splitlines()[0])
+        return None
+    return payload
+
+
+def obtain_env_info(cfg, register_fn=None) -> EnvInfo:
     """Build one probe env, extract the info, close it.
 
-    With --use_env_info_cache the result is pickled per env name (reference
-    env_info.py:95-134 on-disk cache) — useful for envs with slow startup.
+    The probe runs in a spawned throwaway process (reference
+    env_info.py:95-134) so engine/GL/env-library init can't pollute the
+    trainer process; in --serial_mode (the in-process debug regime) it runs
+    inline. With --use_env_info_cache the result is pickled per env name —
+    useful for envs with slow startup.
     """
     import os
     import pickle
@@ -99,13 +187,17 @@ def obtain_env_info(cfg) -> EnvInfo:
             except Exception:  # noqa: BLE001 - stale cache
                 pass
 
-    env = create_env(cfg.env, cfg=cfg, env_config=None)
-    info = extract_env_info(env, cfg)
-    if hasattr(env, "close"):
-        try:
-            env.close()
-        except Exception:  # noqa: BLE001
-            log.warning("Probe env close() failed")
+    info = None
+    if not getattr(cfg, "serial_mode", False):
+        info = _probe_in_process(cfg, register_fn)
+    if info is None:
+        env = create_env(cfg.env, cfg=cfg, env_config=None)
+        info = extract_env_info(env, cfg)
+        if hasattr(env, "close"):
+            try:
+                env.close()
+            except Exception:  # noqa: BLE001
+                log.warning("Probe env close() failed")
 
     if cache_path is not None:
         try:

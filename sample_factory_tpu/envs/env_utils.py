@@ -43,7 +43,17 @@ def env_registry_entry(env_name: str) -> EnvRegistryEntry:
 
 def create_env(env_name: str, cfg=None, env_config: Optional[AttrDict] = None, render_mode: Optional[str] = None):
     entry = env_registry_entry(env_name)
-    return entry.make_env_func(env_name, cfg, env_config, render_mode=render_mode)
+    env = entry.make_env_func(env_name, cfg, env_config, render_mode=render_mode)
+
+    # legacy-gym 4-tuple envs get the gymnasium shim (reference create_env
+    # applies gymnasium_utils.py:22-93 patches); device envs pass through
+    from sample_factory_tpu.envs.device_env import DeviceEnv
+
+    if not isinstance(env, DeviceEnv):
+        from sample_factory_tpu.envs.gymnasium_compat import ensure_gymnasium_env
+
+        env = ensure_gymnasium_env(env)
+    return env
 
 
 # ---------------------------------------------------------------- PBT hooks

@@ -40,7 +40,7 @@ def _eval_host_env(cfg, num_episodes: int, register_fn=None) -> List[Tuple[float
     from sample_factory_tpu.models.actor_critic import create_actor_critic
     from sample_factory_tpu.runner.checkpoint import load_checkpoint
 
-    env_info = obtain_env_info(cfg)
+    env_info = obtain_env_info(cfg, register_fn=register_fn)
     model = create_actor_critic(cfg, env_info.obs_space, env_info.action_space)
     tx = make_optimizer(cfg)
     key = jax.random.PRNGKey(cfg.seed or 0)
@@ -75,7 +75,7 @@ def do_eval(cfg, register_fn=None) -> int:
     cfg = load_from_checkpoint(cfg)
     num_episodes = int(cfg.sample_env_episodes)
 
-    env_info = obtain_env_info(cfg)
+    env_info = obtain_env_info(cfg, register_fn=register_fn)
     t0 = time.time()
     if env_info.is_device_env:
         episodes = _eval_device_env(cfg, num_episodes)

@@ -51,7 +51,7 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
         self.writers = [SummaryWriter(cfg, p) for p in range(self.P)]
         self.writer = self.writers[0]
 
-        self.env_info = obtain_env_info(cfg)
+        self.env_info = obtain_env_info(cfg, register_fn=self.register_fn)
         assert not self.env_info.is_device_env
 
         self.model = create_actor_critic(cfg, self.env_info.obs_space, self.env_info.action_space)

@@ -48,7 +48,7 @@ class HostEnvRunner(Runner):
 
         init_wandb(cfg)
 
-        self.env_info = obtain_env_info(cfg)
+        self.env_info = obtain_env_info(cfg, register_fn=self.register_fn)
         assert not self.env_info.is_device_env
 
         self.model = create_actor_critic(cfg, self.env_info.obs_space, self.env_info.action_space)

@@ -35,7 +35,7 @@ def make_rl_runner(cfg, register_fn=None):
 
     from sample_factory_tpu.envs.env_info import obtain_env_info
 
-    env_info = obtain_env_info(cfg)
+    env_info = obtain_env_info(cfg, register_fn=register_fn)
     if not env_info.is_device_env and env_info.num_agents > 1:
         # num_envs counts agent-slots (transitions per step), like the
         # reference's total_num_agents (rl_utils.py:28-33)

@@ -47,25 +47,28 @@ def _train_cfg(tmp_path, experiment, env="synthetic_vector_discrete", extra=None
     return parse_custom_args(argv)
 
 
+# two representative configs (sync feed-forward, async V-trace RNN) run in the
+# default tier; the full 400k-step sweep is the slow tier (SF_TPU_RUN_SLOW=1)
 @pytest.mark.parametrize(
     "env,extra,threshold",
     [
         ("synthetic_vector_discrete", ["--async_rl=False"], 1.3),
-        ("synthetic_vector_discrete", ["--async_rl=True"], 1.3),
+        pytest.param("synthetic_vector_discrete", ["--async_rl=True"], 1.3, marks=pytest.mark.slow),
         (
             "synthetic_vector_discrete",
             ["--async_rl=True", "--with_vtrace=True", "--use_rnn=True", "--rnn_size=32", "--recurrence=-1", "--normalize_returns=False"],
             1.2,
         ),
-        ("synthetic_continuous", ["--async_rl=False", "--kl_loss_coeff=0.1"], -0.5),
-        ("synthetic_tuple", ["--async_rl=False"], -0.2),
-        (
+        pytest.param("synthetic_continuous", ["--async_rl=False", "--kl_loss_coeff=0.1"], -0.5, marks=pytest.mark.slow),
+        pytest.param("synthetic_tuple", ["--async_rl=False"], -0.2, marks=pytest.mark.slow),
+        pytest.param(
             "synthetic_vector_discrete",
             ["--async_rl=False", "--use_rnn=True", "--rnn_type=lstm", "--rnn_size=32", "--rnn_num_layers=2",
              "--recurrence=8", "--actor_critic_share_weights=False"],
             1.2,
+            marks=pytest.mark.slow,
         ),
-        ("synthetic_vector_discrete", ["--async_rl=False", "--compute_dtype=bfloat16"], 1.3),
+        pytest.param("synthetic_vector_discrete", ["--async_rl=False", "--compute_dtype=bfloat16"], 1.3, marks=pytest.mark.slow),
     ],
     ids=["sync", "async", "vtrace_rnn", "continuous", "tuple_actions", "lstm_separate_weights", "bfloat16"],
 )
@@ -85,18 +88,18 @@ def test_learns_objective(tmp_path, env, extra, threshold):
 
 
 def test_resume_from_checkpoint(tmp_path):
-    cfg = _train_cfg(tmp_path, "resume_test", extra=["--train_for_env_steps=100000"])
+    cfg = _train_cfg(tmp_path, "resume_test", extra=["--train_for_env_steps=60000"])
     assert run_rl(cfg) == 0
 
     # second run resumes: env_steps continue from the checkpoint
-    cfg2 = _train_cfg(tmp_path, "resume_test", extra=["--train_for_env_steps=200000"])
+    cfg2 = _train_cfg(tmp_path, "resume_test", extra=["--train_for_env_steps=120000"])
     assert run_rl(cfg2) == 0
 
     from sample_factory_tpu.utils.utils import done_filename
 
     with open(done_filename(cfg2)) as f:
         final_steps = int(f.read())
-    assert final_steps >= 200000
+    assert final_steps >= 120000
 
 
 def test_overwrite_restart(tmp_path):
