@@ -143,16 +143,26 @@ class EnvSlotStepper:
     'is_active') occupy num_agents consecutive slots. Inactive agents are
     recorded in the 'active' slab so the learner masks them
     (reference non_batched_sampling.py:82-84,197-203).
+
+    Batched vector envs (is_batched_vector_env=True: one object stepping a
+    whole batch as arrays — the reference's BatchedVecEnv contract,
+    batched_sampling.py:298-392, and the envpool backend) get ONE instance
+    per split sized to the split (env_config.num_envs) and are stepped with
+    a single array call, no per-env Python loop. The contract is auto-reset:
+    obs returned for done envs is the next episode's first observation.
     """
 
     def __init__(self, cfg, env_info, slabs: "ShmSlabs", worker_idx: int):
         self.cfg = cfg
+        self.env_info = env_info
         self.slabs = slabs
         self.w = worker_idx
         self.K = cfg.worker_num_splits
         self.A = env_info.num_agents
         self.E = cfg.num_envs_per_worker // self.K  # envs per split
         self.multiagent = self.A > 1
+        self.batched = False  # set by create_envs when the factory returns a batched vector env
+        self._squeeze_actions = False
         self.envs: List[List[Any]] = []
         slots = self.E * self.A
         # processed (scaled/clipped, what the learner sees) and raw returns are
@@ -176,8 +186,23 @@ class EnvSlotStepper:
             row = []
             for e in range(self.E):
                 env_id = self.w * self.cfg.num_envs_per_worker + s * self.E + e
-                env_config = AttrDict(worker_index=self.w, vector_index=s * self.E + e, env_id=env_id)
+                # num_envs tells batched factories (envpool etc.) the split
+                # size; per-env factories ignore it
+                env_config = AttrDict(
+                    worker_index=self.w, vector_index=s * self.E + e, env_id=env_id, num_envs=self.E
+                )
                 env = create_env(self.cfg.env, cfg=self.cfg, env_config=env_config)
+                if getattr(env, "is_batched_vector_env", False):
+                    assert e == 0, "batched vector env must be the only env of its split"
+                    assert not self.multiagent, "batched + multi-agent host envs not supported"
+                    n = getattr(env, "num_envs", None)
+                    assert n == self.E, f"batched env has num_envs={n}, expected {self.E} (num_envs_per_worker/worker_num_splits)"
+                    self.batched = True
+                    from sample_factory_tpu.envs.spaces import Discrete
+
+                    self._squeeze_actions = isinstance(self.env_info.action_space, Discrete)
+                    row.append(env)
+                    break
                 if not getattr(env, "is_multiagent", False):
                     env = wrap_host_env(env, self.cfg)
                 row.append(env)
@@ -191,7 +216,18 @@ class EnvSlotStepper:
         # multi-agent envs return raw per-agent obs (dict or array)
         return obs if isinstance(obs, dict) else {"obs": obs}
 
+    def _write_obs_batch(self, s: int, obs_batch) -> None:
+        ob = obs_batch if isinstance(obs_batch, dict) else {"obs": obs_batch}
+        for k in self.obs_keys:
+            self.slabs.arrays[k][self.w, s, :] = ob[k[4:]]
+
     def reset_all(self) -> None:
+        if self.batched:
+            self.slabs.arrays["active"][self.w] = True
+            for s in range(self.K):
+                obs, _ = self.envs[s][0].reset(seed=self.cfg.seed + self.w * 10007 + s * 101)
+                self._write_obs_batch(s, obs)
+            return
         self.slabs.arrays["active"][self.w] = True
         rng = np.random.default_rng(self.cfg.seed + self.w)
         total_envs = self.K * self.E
@@ -224,6 +260,8 @@ class EnvSlotStepper:
         channel (env info dict key, e.g. DMLab raw scores in
         sf_examples/dmlab/wrappers/reward_shaping.py:32-38); it rides the
         completed-episode message back to the runner's stats handlers."""
+        if self.batched:
+            return self._step_split_batched(split)
         arrays = self.slabs.arrays
         actions = arrays["actions"][self.w, split]
         completed: List[Tuple[float, int, Optional[Dict[str, Any]]]] = []
@@ -287,9 +325,63 @@ class EnvSlotStepper:
                 self._write_obs(split, e, obs)
         return completed
 
+    def _step_split_batched(self, split: int):
+        """One array-call step of the whole split (reference
+        batched_sampling.py:298-392): actions out of the slab, obs/rewards/
+        dones written back as batches, episodic stats maintained vectorized."""
+        arrays = self.slabs.arrays
+        env = self.envs[split][0]
+        acts = arrays["actions"][self.w, split]
+        a = acts[:, 0] if self._squeeze_actions else acts
+        obs, rew, term, trunc, infos = env.step(a)
+        rew = np.asarray(rew, np.float32)
+        term = np.asarray(term, bool)
+        trunc = np.asarray(trunc, bool)
+        arrays["rewards"][self.w, split] = rew
+        arrays["terminated"][self.w, split] = term
+        arrays["truncated"][self.w, split] = trunc
+
+        proc = np.clip(rew * self._r_scale, -self._r_clip, self._r_clip)
+        self.ep_returns[split] += proc
+        self.ep_raw_returns[split] += rew
+        self.ep_lens[split] += 1
+        done = term | trunc
+        completed: List[Tuple[float, float, int, Optional[Dict[str, Any]]]] = []
+        if done.any():
+            extras_list = infos.get("episode_extra_stats") if isinstance(infos, dict) else None
+            for i in np.nonzero(done)[0]:
+                extras = None
+                if extras_list is not None:
+                    cand = extras_list[i]
+                    extras = cand if isinstance(cand, dict) and cand else None
+                completed.append(
+                    (
+                        float(self.ep_returns[split, i]),
+                        float(self.ep_raw_returns[split, i]),
+                        int(self.ep_lens[split, i]),
+                        extras,
+                    )
+                )
+            self.ep_returns[split, done] = 0.0
+            self.ep_raw_returns[split, done] = 0.0
+            self.ep_lens[split, done] = 0
+        self._write_obs_batch(split, obs)
+        return completed
+
     def set_reward_shaping(self, shaping: Dict[str, Any], slot_mask: Optional[np.ndarray] = None) -> None:
         """Apply new reward shaping to envs. slot_mask [K, E*A] selects which
-        agent slots (i.e. which policy's agents) it applies to; None = all."""
+        agent slots (i.e. which policy's agents) it applies to; None = all.
+        Batched vector envs get one whole-split call (per-slot granularity is
+        a per-env-object feature)."""
+        if self.batched:
+            for s in range(self.K):
+                env = self.envs[s][0]
+                if hasattr(env, "set_reward_shaping") and (slot_mask is None or slot_mask[s].any()):
+                    try:
+                        env.set_reward_shaping(shaping, 0)
+                    except Exception:  # noqa: BLE001
+                        pass
+            return
         for s in range(self.K):
             for e in range(self.E):
                 env = self.envs[s][e]
@@ -619,11 +711,18 @@ class HostVectorSampler:
 
     # ------------------------------------------------------ rollout assembly
 
-    def collect_rollout(self, params, obs_rms, key, policy_version, policy_id: int = 0, slot_policies=None):
+    def collect_rollout(
+        self, params, obs_rms, key, policy_version, policy_id: int = 0, slot_policies=None, idle_fn=None
+    ):
         """Collect cfg.rollout steps from all envs. Returns (trajectory, stats).
 
         Per timestep, splits are processed round-robin: while split s's envs
         step on CPU workers, the device runs inference for split s+1.
+
+        idle_fn, if given, is called once per (timestep, split) right after
+        that split's actions are shipped to the workers — a device-idle slot
+        the runner uses to dispatch one learner quantum (QuantizedTrainer),
+        so training overlaps env stepping on a single chip.
 
         Multi-policy self-play: pass STACKED params/obs_rms (leading policy
         axis), slot_policies [K, split_size] (agent->policy mapping, reference
@@ -640,6 +739,8 @@ class HostVectorSampler:
             for s in range(self.K):
                 self._collect_one(params, obs_rms, key, t, s, transitions, slot_policies)
                 key = jax.random.fold_in(key, t * self.K + s)
+                if idle_fn is not None:
+                    idle_fn()
 
         # flush: wait for the last env steps, finalize rewards/dones
         final_obs = []

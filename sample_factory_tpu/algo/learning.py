@@ -86,8 +86,18 @@ def default_hparams(cfg) -> Dict[str, jnp.ndarray]:
     return {name: jnp.asarray(getattr(cfg, name), jnp.float32) for name in PBT_HPARAMS}
 
 
-def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy_id: int = 0) -> Callable:
-    """Build train(ts, traj, key) -> (ts, stats). traj is time-major [T(+1), N, ...]."""
+def build_train_pieces(cfg, env_info, model, tx: optax.GradientTransformation, policy_id: int = 0):
+    """The learner decomposed into its two XLA-program-sized pieces:
+
+    - prepare_batch(ts, traj, pid) -> (ts, dataset, valid_frac)
+    - sgd_step((ts, valid_frac), (mb, key)) -> ((ts, valid_frac), aux)
+
+    `make_train_fn` fuses them into ONE program (sync mode / device envs);
+    the QuantizedTrainer (algo/quantized_train.py) dispatches them as separate
+    programs interleaved with rollout inference so env workers never idle
+    during training (the APPO overlap, reference inference_worker.py:349-368,
+    re-expressed as device-FIFO scheduling instead of process concurrency).
+    """
     action_space = env_info.action_space
     use_rnn = cfg.use_rnn
     recurrence = max(1, cfg.recurrence)
@@ -300,6 +310,15 @@ def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy
 
         valid_frac = jnp.mean(dataset["valids"])
         return ts.replace(obs_rms=obs_rms, returns_rms=returns_rms), dataset, valid_frac
+
+    return sgd_step, prepare_batch
+
+
+def make_train_fn(cfg, env_info, model, tx: optax.GradientTransformation, policy_id: int = 0) -> Callable:
+    """Build train(ts, traj, key) -> (ts, stats) as ONE fused XLA program.
+    traj is time-major [T(+1), N, ...]."""
+    recurrence = max(1, cfg.recurrence)
+    sgd_step, prepare_batch = build_train_pieces(cfg, env_info, model, tx, policy_id)
 
     def train(
         ts: PolicyTrainState, traj: Dict[str, Any], key, pid=policy_id

@@ -91,7 +91,9 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
                 stacked_ts, keys, pids
             )
 
-        self._train_all = jax.jit(train_all_policies, donate_argnums=(0,))
+        # async mode keeps a behavior snapshot aliasing the pre-train params,
+        # so the train-state buffers must not be donated there
+        self._train_all = jax.jit(train_all_policies, donate_argnums=() if cfg.async_rl else (0,))
         self._policy_ids = jnp.arange(self.P, dtype=jnp.int32)
 
         if cfg.with_pbt:
@@ -116,20 +118,32 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
 
         log.info("Starting multi-policy self-play for %d env steps", cfg.train_for_env_steps)
         status = 0
+        # async snapshot: collect with the freshest already-materialized params
+        # so the rollout never blocks on the in-flight population train step
+        # (same fix as HostEnvRunner; policy lag is stamped via versions)
+        behavior = (self.train_state.params, self.train_state.obs_rms, self.train_state.train_step)
         try:
             while not self._should_end_training():
                 self.key, k_collect, k_train = jax.random.split(self.key, 3)
 
-                versions = np.asarray(jax.device_get(self.train_state.train_step), np.int32)
+                if cfg.async_rl:
+                    b_params, b_obs_rms, b_version = behavior
+                else:
+                    b_params, b_obs_rms, b_version = (
+                        self.train_state.params, self.train_state.obs_rms, self.train_state.train_step
+                    )
+                versions = np.asarray(jax.device_get(b_version), np.int32)
                 traj, ep_stats = self.sampler.collect_rollout(
-                    self.train_state.params,
-                    self.train_state.obs_rms,
+                    b_params,
+                    b_obs_rms,
                     k_collect,
                     versions,
                     slot_policies=self.slot_policies,
                 )
 
                 keys = jax.random.split(k_train, self.P)
+                if cfg.async_rl:
+                    behavior = (self.train_state.params, self.train_state.obs_rms, self.train_state.train_step)
                 ts, stats = self._train_all(self.train_state, traj, keys, self._policy_ids)
                 self.train_state = ts
 

@@ -1,11 +1,17 @@
 """Runner for host (gymnasium) environments: CPU env workers + device learner.
 
 The host analog of `Runner` (see runner.py): rollouts come from
-HostVectorSampler worker processes through SharedMemory slabs; the learner is
-the same fused train step. In async mode (APPO) the train step is dispatched
-without blocking and the next rollout is collected with a stale param snapshot,
-reproducing the reference's policy-lag regime (reference async architecture,
-docs/06-architecture/overview.md).
+HostVectorSampler worker processes through SharedMemory slabs.
+
+Sync mode trains with one fused XLA program after each rollout (on-policy).
+Async mode (APPO) is the TPU-native re-expression of the reference's
+overlapped architecture (reference docs/06-architecture/overview.md,
+inference_worker.py:349-368): the train step is decomposed into learner
+quanta (algo/quantized_train.py) that are dispatched into the device-idle
+slots between rollout inference steps, paced evenly over the rollout, while
+the rollout itself uses the freshest already-materialized param snapshot.
+Env workers therefore never wait for training; per-iteration wall clock
+approaches max(env time, device time) instead of their sum.
 """
 
 from __future__ import annotations
@@ -24,6 +30,33 @@ from sample_factory_tpu.runner.checkpoint import load_checkpoint
 from sample_factory_tpu.runner.runner import Runner
 from sample_factory_tpu.runner.stats import SummaryWriter
 from sample_factory_tpu.utils.utils import experiment_dir, init_file_logger, log, save_cfg
+
+
+class _QuantaPacer:
+    """Paces learner-quantum dispatch evenly over a rollout's idle slots.
+
+    With Q pending quanta and S slots, slot i dispatches up to ceil(Q*i/S)
+    cumulative quanta — one per slot when Q <= S, bursts when the train step
+    is bigger than the rollout's slot count (large num_epochs / many
+    minibatches), so the full step is always in flight by rollout end.
+    """
+
+    def __init__(self, quantizer, slots: int):
+        self.q = quantizer
+        self.slots = max(1, slots)
+        self.total = 0
+        self.i = 0
+
+    def reset(self) -> None:
+        self.total = self.q.pending
+        self.i = 0
+
+    def __call__(self) -> None:
+        self.i += 1
+        target = min(self.total, -(-self.total * self.i // self.slots))  # ceil
+        while (self.total - self.q.pending) < target:
+            if not self.q.dispatch_one():
+                break
 
 
 class HostEnvRunner(Runner):
@@ -68,10 +101,23 @@ class HostEnvRunner(Runner):
             train_state, self.env_steps, self.best_performance = restored
         self.train_state = train_state
         self.behavior_params = train_state.params
-        self.behavior_version = train_state.train_step
+        self.behavior_obs_rms = train_state.obs_rms
+        self._behavior_version_host = int(jax.device_get(train_state.train_step))
+        self._version_host = self._behavior_version_host
 
         train_fn = make_train_fn(cfg, self.env_info, self.model, tx, self.policy_id)
         self._train_jit = jax.jit(train_fn)
+        # async mode trains through the quantized scheduler: learner quanta are
+        # dispatched into the device-idle slots between inference steps so env
+        # workers never wait for training (see algo/quantized_train.py)
+        self._quantizer = None
+        if cfg.async_rl and not cfg.shuffle_minibatches:
+            from sample_factory_tpu.algo.quantized_train import QuantizedTrainer
+
+            self._quantizer = QuantizedTrainer(
+                cfg, self.env_info, self.model, tx, self.policy_id, num_envs=self.sampler.num_envs
+            )
+            self._pacer = _QuantaPacer(self._quantizer, slots=cfg.rollout * cfg.worker_num_splits)
         log.info(
             "HostEnvRunner: %d workers x %d envs (%d total), serial=%s, async=%s",
             cfg.num_workers,
@@ -89,37 +135,67 @@ class HostEnvRunner(Runner):
         frameskip = cfg.env_frameskip if cfg.summaries_use_frameskip else 1
 
         log.info("Starting training for %d env steps (current: %d)", cfg.train_for_env_steps, self.env_steps)
+        use_quanta = self._quantizer is not None
+        pending = False
         status = 0
         try:
             while not self._should_end_training():
                 self.key, k_collect, k_train = jax.random.split(self.key, 3)
                 if cfg.async_rl:
-                    behavior_params, behavior_version = self.behavior_params, self.behavior_version
+                    # behavior snapshot: the freshest params that are already
+                    # materialized — the rollout never blocks on an in-flight
+                    # train step (the reference's opportunistic weight refresh,
+                    # inference_worker.py:349-368)
+                    behavior_params, behavior_obs_rms = self.behavior_params, self.behavior_obs_rms
+                    behavior_version = self._behavior_version_host
                 else:
-                    behavior_params, behavior_version = self.train_state.params, self.train_state.train_step
+                    behavior_params, behavior_obs_rms = self.train_state.params, self.train_state.obs_rms
+                    behavior_version = int(jax.device_get(self.train_state.train_step))
 
+                idle_fn = self._pacer if (use_quanta and pending) else None
                 with self.timing.add_time("rollout"):
                     traj, ep_stats = self.sampler.collect_rollout(
-                        behavior_params, self.train_state.obs_rms, k_collect,
-                        int(jax.device_get(behavior_version)), self.policy_id,
+                        behavior_params, behavior_obs_rms, k_collect, behavior_version, self.policy_id,
+                        idle_fn=idle_fn,
                     )
-                with self.timing.add_time("train_dispatch"):
-                    ts, stats = self._train_jit(self.train_state, traj, k_train)
-                self.train_state = ts
-                if cfg.async_rl:
-                    # snapshot for the next rollout: post-update params (1-iter lag;
-                    # dispatch is async, so env stepping overlaps device training)
-                    self.behavior_params = ts.params
-                    self.behavior_version = ts.train_step
+
+                stats = None
+                if use_quanta:
+                    if pending:
+                        with self.timing.add_time("train_flush"):
+                            self.train_state, stats = self._quantizer.flush()
+                    # next rollout's behavior: the params the train step we are
+                    # about to enqueue will consume — produced by the previous
+                    # train step, whose quanta already ran during this rollout
+                    self.behavior_params = self.train_state.params
+                    self.behavior_obs_rms = self.train_state.obs_rms
+                    self._behavior_version_host = self._version_host
+                    with self.timing.add_time("train_dispatch"):
+                        self._quantizer.enqueue(self.train_state, traj, k_train)
+                    self._pacer.reset()
+                    self._version_host += self._quantizer.sgd_steps_per_train
+                    pending = True
+                else:
+                    with self.timing.add_time("train_dispatch"):
+                        ts, stats = self._train_jit(self.train_state, traj, k_train)
+                    if cfg.async_rl:
+                        # fused fallback (shuffle_minibatches): snapshot = the
+                        # params this train step consumed (already materialized)
+                        self.behavior_params = self.train_state.params
+                        self.behavior_obs_rms = self.train_state.obs_rms
+                        self._behavior_version_host = int(jax.device_get(self.train_state.train_step))
+                    self.train_state = ts
 
                 self.env_steps += transitions_per_iter * frameskip
                 self._process_stats(stats, ep_stats)
-                self._periodic_tasks(stats)
+                self._periodic_tasks(stats if stats is not None else self._last_stats)
                 self._notify_observers(stats)
         except KeyboardInterrupt:
             log.info("Interrupted, saving checkpoint...")
             status = 1
         finally:
+            if use_quanta and pending:
+                self.train_state, _ = self._quantizer.flush()
             self._save(is_final=True)
             if self.sampler is not None:
                 self.sampler.close()
@@ -136,4 +212,5 @@ class HostEnvRunner(Runner):
         extras = ep_stats.get("extra_stats")
         if extras and self.episodic_stats_handlers:
             self._dispatch_extra_stats(extras, self.policy_id)
-        self._last_stats = stats
+        if stats is not None:
+            self._last_stats = stats

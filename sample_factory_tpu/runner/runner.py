@@ -101,6 +101,7 @@ class Runner:
         self.writer: Optional[SummaryWriter] = None
 
         self._train_iteration = None
+        self._last_stats = None
         self._last_report = 0.0
         self._last_checkpoint = 0.0
         self._last_best_check = 0.0
@@ -307,7 +308,9 @@ class Runner:
             self._last_best_check = now
 
     def _report(self, stats) -> None:
-        host_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+        if stats is None:
+            stats = self._last_stats
+        host_stats = {} if stats is None else {k: float(v) for k, v in jax.device_get(stats).items()}
         fps10, fps300 = self.fps_tracker.fps(10), self.fps_tracker.fps(300)
         avg_r = self.episode_stats.avg_reward
         avg_len = self.episode_stats.avg_length

@@ -1,10 +1,14 @@
 """EnvPool integration: batched C++ env stepping feeding the host pipeline.
 
 Parity: reference `sf_examples/envpool/` (envpool as the high-performance
-batched CPU env backend). An EnvPool instance already steps a whole batch in
-C++ threads, so it maps to ONE host worker with a large vector instead of many
-single-env workers — set --num_workers=1 and --env_agents to the pool size.
-Gated on envpool availability.
+batched CPU env backend). An envpool instance steps a whole batch in C++
+threads, so it plugs into the host sampler's batched vector-env contract
+(sample_factory_tpu/envs/batched_host_env.py): one pool per worker-split,
+sized via env_config.num_envs, stepped with a single array call straight
+into the SharedMemory slabs. Gated on envpool availability.
+
+Env name convention: ``envpool_<TaskId>`` (e.g. ``envpool_Breakout-v5``);
+kwargs for ``envpool.make`` come from --env_agents-style cfg or defaults.
 """
 
 from __future__ import annotations
@@ -24,34 +28,52 @@ def envpool_available() -> bool:
 
 
 class EnvPoolBatchedEnv:
-    """gymnasium-like facade over an envpool batch (obs/reward arrays carry the
-    pool's batch dim; used with num_envs_per_worker == pool size)."""
+    """Adapter presenting the batched host vector-env contract over an
+    envpool gymnasium-API pool (auto-reset; arrays in, arrays out)."""
+
+    is_batched_vector_env = True
+    gymnasium_api = True
 
     def __init__(self, task_id: str, num_envs: int, seed: int = 0, **kwargs):
         import envpool
 
         self.pool = envpool.make(task_id, env_type="gymnasium", num_envs=num_envs, seed=seed, **kwargs)
-        self.num_envs = num_envs
-        self.observation_space = self.pool.observation_space
+        self.num_envs = int(num_envs)
+        self.observation_space = self.pool.observation_space  # per-env space
         self.action_space = self.pool.action_space
 
-    def reset(self, seed=None, **kwargs):
-        return self.pool.reset()
+    def reset(self, seed: Optional[int] = None):
+        # envpool pools are seeded at construction; the gymnasium API returns
+        # (obs[N, ...], info)
+        out = self.pool.reset()
+        if isinstance(out, tuple) and len(out) == 2:
+            return out
+        return out, {}
 
     def step(self, actions):
-        return self.pool.step(np.asarray(actions))
+        obs, rewards, terminated, truncated, info = self.pool.step(np.asarray(actions))
+        return obs, rewards, terminated, truncated, info
 
-    def close(self):
-        self.pool.close()
+    def close(self) -> None:
+        try:
+            self.pool.close()
+        except Exception:  # noqa: BLE001 - some pool versions have no close()
+            pass
 
 
 def make_envpool_env(env_name: str, cfg=None, env_config=None, render_mode: Optional[str] = None):
     if not envpool_available():
         raise RuntimeError("envpool is not installed; pip install envpool")
-    # env_name convention: envpool_<TaskId>, e.g. envpool_Breakout-v5
     task_id = env_name.split("envpool_", 1)[1]
-    num_envs = cfg.num_envs_per_worker if cfg is not None else 1
-    return EnvPoolBatchedEnv(task_id, num_envs=num_envs, seed=cfg.seed if cfg else 0)
+    # pool size = split size, provided by the host sampler (EnvSlotStepper
+    # passes env_config.num_envs); the env-info probe creates a 1-env pool
+    num_envs = 1
+    if env_config is not None and getattr(env_config, "num_envs", None):
+        num_envs = int(env_config.num_envs)
+    seed = (cfg.seed or 0) if cfg is not None else 0
+    if env_config is not None:
+        seed += int(getattr(env_config, "env_id", 0) or 0)
+    return EnvPoolBatchedEnv(task_id, num_envs=num_envs, seed=seed)
 
 
 def register_envpool_env(env_name: str) -> None:

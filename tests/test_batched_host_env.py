@@ -1,0 +1,161 @@
+"""Batched host vector-env path: contract, envpool facade, e2e learning.
+
+Parity: reference `algo/sampling/batched_sampling.py` (BatchedVectorEnvRunner)
+and `sf_examples/envpool/`. The done-criteria from the round-1 review: a
+CartPole-class learning test through the batched path + an envpool facade
+unit test (against a fake pool, since envpool isn't installed here).
+"""
+
+import json
+import sys
+import types
+from os.path import join
+
+import numpy as np
+import pytest
+
+from sample_factory_tpu.algo.context import reset_global_context
+from sample_factory_tpu.envs.batched_host_env import BatchedCartPoleEnv, register_batched_cartpole
+from sample_factory_tpu.utils.attr_dict import AttrDict
+
+
+@pytest.fixture(autouse=True)
+def _fresh_context():
+    reset_global_context()
+    register_batched_cartpole()
+    yield
+    reset_global_context()
+
+
+def test_batched_cartpole_contract():
+    env = BatchedCartPoleEnv(8, seed=1)
+    obs, info = env.reset(seed=3)
+    assert obs.shape == (8, 4) and obs.dtype == np.float32
+
+    saw_done = False
+    for _ in range(600):
+        obs, r, term, trunc, info = env.step(np.ones(8, np.int64))
+        assert obs.shape == (8, 4) and r.shape == (8,)
+        assert term.dtype == bool and trunc.dtype == bool
+        saw_done = saw_done or bool((term | trunc).any())
+    # constant action tips the pole: episodes ended and auto-reset
+    assert saw_done
+    assert env._steps.max() < 600
+
+
+def test_batched_stepper_slots():
+    """EnvSlotStepper drives a batched env: one instance per split, whole-batch
+    writes into the slabs, episodic stats accumulated vectorized."""
+    from sample_factory_tpu.algo.host_sampling import EnvSlotStepper, ShmSlabs
+    from sample_factory_tpu.cfg.arguments import default_cfg
+    from sample_factory_tpu.envs.env_info import obtain_env_info
+
+    cfg = default_cfg(
+        env="batched_cartpole",
+        argv=["--num_workers=1", "--num_envs_per_worker=8", "--worker_num_splits=2", "--serial_mode=True"],
+    )
+    env_info = obtain_env_info(cfg)
+    slabs = ShmSlabs(cfg, env_info, create=True)
+    try:
+        stepper = EnvSlotStepper(cfg, env_info, slabs, worker_idx=0)
+        stepper.create_envs()
+        assert stepper.batched
+        assert len(stepper.envs[0]) == 1 and stepper.envs[0][0].num_envs == 4
+        stepper.reset_all()
+        completed = []
+        for _ in range(40):
+            slabs.arrays["actions"][0, 0, :, 0] = np.random.randint(0, 2, size=4)
+            completed.extend(stepper.step_split(0))
+        assert slabs.arrays["rewards"][0, 0].sum() > 0
+        # episodes complete within ~40 random-action steps on some envs
+        for ret, raw, length, extras in completed:
+            assert ret == raw == pytest.approx(length)  # reward 1/step, no scaling
+    finally:
+        slabs.close(unlink=True)
+
+
+def test_envpool_facade(monkeypatch):
+    """make_envpool_env presents the batched contract over a (fake) pool."""
+    import gymnasium as gym
+
+    class FakePool:
+        def __init__(self, num_envs):
+            self.num_envs = num_envs
+            self.observation_space = gym.spaces.Box(-1, 1, (4,), np.float32)
+            self.action_space = gym.spaces.Discrete(2)
+
+        def reset(self):
+            return np.zeros((self.num_envs, 4), np.float32), {}
+
+        def step(self, actions):
+            n = self.num_envs
+            assert actions.shape == (n,)
+            return (
+                np.random.randn(n, 4).astype(np.float32),
+                np.ones(n, np.float32),
+                np.zeros(n, bool),
+                np.zeros(n, bool),
+                {"elapsed_step": np.ones(n, np.int32)},
+            )
+
+        def close(self):
+            pass
+
+    fake = types.ModuleType("envpool")
+
+    def make(task_id, env_type, num_envs, seed, **kwargs):
+        assert env_type == "gymnasium"
+        assert task_id == "CartPole-v1"
+        return FakePool(num_envs)
+
+    fake.make = make
+    monkeypatch.setitem(sys.modules, "envpool", fake)
+
+    from sf_examples_tpu.envpool.envpool_utils import envpool_available, make_envpool_env
+
+    assert envpool_available()
+    env = make_envpool_env("envpool_CartPole-v1", cfg=None, env_config=AttrDict(num_envs=4, env_id=0))
+    assert env.is_batched_vector_env and env.num_envs == 4
+    obs, info = env.reset()
+    assert obs.shape == (4, 4)
+    obs, r, term, trunc, infos = env.step(np.zeros(4, np.int64))
+    assert r.shape == (4,) and term.shape == (4,)
+
+
+def test_batched_path_learns(tmp_path):
+    """CartPole learning end-to-end through the batched host path with real
+    worker processes (the round-1 review's done-criterion for this feature)."""
+    from sample_factory_tpu.cfg.arguments import parse_full_cfg, parse_sf_args
+    from sample_factory_tpu.train import run_rl
+
+    argv = [
+        "--env=batched_cartpole",
+        "--experiment=batched_learns",
+        f"--train_dir={tmp_path}",
+        "--device=cpu",
+        "--num_workers=2",
+        "--num_envs_per_worker=8",
+        "--worker_num_splits=2",
+        "--rollout=16",
+        "--batch_size=256",
+        "--num_epochs=2",
+        "--encoder_mlp_layers", "64", "64",
+        "--use_rnn=False",
+        "--async_rl=True",
+        "--train_for_env_steps=80000",
+        "--experiment_summaries_interval=2",
+        "--seed=7",
+    ]
+    parser, _ = parse_sf_args(argv=argv)
+    cfg = parse_full_cfg(parser, argv=argv)
+    assert run_rl(cfg, register_fn=register_batched_cartpole) == 0
+
+    summaries = join(str(tmp_path), "batched_learns", ".summary", "0", "summaries.jsonl")
+    rewards = []
+    with open(summaries) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train/reward" in rec:
+                rewards.append(rec["train/reward"])
+    assert rewards, "no reward summaries written"
+    assert max(rewards[-3:]) > 60, f"batched-path policy did not learn: {rewards}"
