@@ -104,6 +104,13 @@ def ensure_gymnasium_env(env: Any):
     if not hasattr(env, "step") or not hasattr(env, "reset"):
         return env  # DeviceEnv or exotic object; leave alone
 
+    if getattr(env, "is_multiagent", False):
+        # multi-agent host envs speak the per-agent-LIST contract (reference
+        # non_batched_sampling.py): obs/rewards/terms/truncs/infos are lists,
+        # infos is not a dict — the legacy-gym heuristics below would mangle
+        # reset()'s (obs_list, infos_list) into ((obs, infos), {})
+        return env
+
     # duck-typed / legacy env: adapt unless it already follows gymnasium
     # conventions (reset(seed=...) supported AND declared 5-tuple step)
     if _accepts_kwarg(env.reset, "seed") and getattr(env, "gymnasium_api", False):

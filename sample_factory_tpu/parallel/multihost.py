@@ -52,6 +52,52 @@ def broadcast_from_primary(tree: Any) -> Any:
     return multihost_utils.broadcast_one_to_all(tree)
 
 
+def aggregate_episode_sums(ep: Dict[str, Any]) -> Dict[str, Any]:
+    """Sum numeric episode-rollout stats (count/return_sum/len_sum, scalar or
+    per-policy arrays) across hosts so every host sees GLOBAL episode stats —
+    the windowed averages, console reports and PBT objectives derived from
+    them then agree on all hosts. Non-numeric entries (e.g. the
+    `extra_stats` list of per-episode dicts) stay host-local.
+
+    Must be called in lockstep (once per training iteration on every host) —
+    guaranteed for the device-env runners, whose jitted iteration is one
+    global SPMD program. No-op on single-host runs.
+    """
+    if not is_multihost():
+        return ep
+    from jax.experimental import multihost_utils
+
+    num_keys = sorted(
+        k for k, v in ep.items() if isinstance(v, (int, float, np.floating, np.integer, np.ndarray))
+    )
+    if not num_keys:
+        return ep
+    flat = np.concatenate([np.ravel(np.asarray(ep[k], np.float32)) for k in num_keys])
+    summed = multihost_utils.process_allgather(flat).sum(axis=0)
+    out = dict(ep)
+    offset = 0
+    for k in num_keys:
+        arr = np.asarray(ep[k])
+        n = arr.size
+        piece = summed[offset : offset + n].reshape(arr.shape)
+        out[k] = type(ep[k])(piece) if isinstance(ep[k], (int, float)) else piece.astype(arr.dtype, copy=False)
+        offset += n
+    return out
+
+
+def broadcast_objectives(objectives: list) -> list:
+    """Broadcast per-policy PBT objectives from host 0 (None-safe via NaN
+    sentinel). Host 0's windowed stats decide; with the PBT RNG seeded
+    identically everywhere, all hosts then make identical exploit/explore
+    decisions (the reference runs PBT only on its single Runner process —
+    multihost parity requires this agreement)."""
+    if not is_multihost():
+        return objectives
+    arr = np.asarray([np.nan if o is None else float(o) for o in objectives], np.float32)
+    arr = np.asarray(broadcast_from_primary(arr))
+    return [None if np.isnan(v) else float(v) for v in arr]
+
+
 def sync_barrier(name: str = "barrier") -> None:
     if not is_multihost():
         return

@@ -30,17 +30,22 @@ from sample_factory_tpu.utils.utils import experiment_dir, log
 EPS = 1e-5
 
 
-def perturb_float(x: float, perturb_amount: float = 1.2) -> float:
-    # mutation direction is random (reference perturb_float)
-    if random.random() < 0.5:
+def perturb_float(x: float, perturb_amount: float = 1.2, rng: random.Random = random) -> float:
+    # mutation direction is random (reference perturb_float). The rng is the
+    # PBT instance's seeded Random: with identical seeds + identical
+    # (broadcast) objectives, every host draws the same mutations — required
+    # for multihost PBT agreement (tests/test_multihost.py).
+    if rng.random() < 0.5:
         return x / perturb_amount
     return x * perturb_amount
 
 
-def perturb_exponential_decay(x: float, perturb_amount_min=1.01, perturb_amount_max=1.2) -> float:
+def perturb_exponential_decay(
+    x: float, perturb_amount_min=1.01, perturb_amount_max=1.2, rng: random.Random = random
+) -> float:
     """For params like gamma: perturb (1 - x) so values near 1 move slowly."""
-    amount = random.uniform(perturb_amount_min, perturb_amount_max)
-    return max(EPS, 1.0 - perturb_float(1.0 - x, amount))
+    amount = rng.uniform(perturb_amount_min, perturb_amount_max)
+    return max(EPS, 1.0 - perturb_float(1.0 - x, amount, rng))
 
 
 SPECIAL_PERTURBATION = {"gamma": perturb_exponential_decay}
@@ -60,9 +65,12 @@ class PopulationBasedTraining:
     def __init__(self, cfg, num_policies: Optional[int] = None, default_reward_shaping: Optional[Dict] = None):
         self.cfg = cfg
         self.P = num_policies or cfg.num_policies
-        self.hparams_to_tune = set(PBT_HPARAMS) - ({"gamma"} if not cfg.pbt_optimize_gamma else set())
-        if not cfg.pbt_optimize_gamma:
-            self.hparams_to_tune.discard("gamma")
+        # sorted: mutation order maps RNG draws to params deterministically
+        # (set iteration order varies with hash randomization — cross-host
+        # PBT agreement needs every host to draw in the same order)
+        self.hparams_to_tune = tuple(
+            sorted(n for n in PBT_HPARAMS if n != "gamma" or cfg.pbt_optimize_gamma)
+        )
         self.default_hparams = {name: float(getattr(cfg, name)) for name in PBT_HPARAMS}
         self.policy_hparams: List[Dict[str, float]] = [dict(self.default_hparams) for _ in range(self.P)]
         # reward shaping population (reference policy_reward_shaping, :128-151)
@@ -83,10 +91,10 @@ class PopulationBasedTraining:
         if value != self.default_hparams[name] and self.rng.random() < 0.01:
             return self.default_hparams[name]
         if name in SPECIAL_PERTURBATION:
-            new_value = SPECIAL_PERTURBATION[name](value)
+            new_value = SPECIAL_PERTURBATION[name](value, rng=self.rng)
         else:
             amount = self.rng.uniform(self.cfg.pbt_perturb_min, self.cfg.pbt_perturb_max)
-            new_value = perturb_float(float(value), amount)
+            new_value = perturb_float(float(value), amount, self.rng)
         log.debug("PBT: %s %.6f -> %.6f", name, value, new_value)
         return new_value
 
@@ -122,7 +130,7 @@ class PopulationBasedTraining:
         if value != default and self.rng.random() < 0.01:
             return default
         amount = self.rng.uniform(self.cfg.pbt_perturb_min, self.cfg.pbt_perturb_max)
-        return perturb_float(float(value), amount)
+        return perturb_float(float(value), amount, self.rng)
 
     # ------------------------------------------------------------ application
 
@@ -164,6 +172,10 @@ class PopulationBasedTraining:
         )
 
     def _save_policy_cfg(self, policy_id: int) -> None:
+        from sample_factory_tpu.parallel.multihost import is_primary_host
+
+        if not is_primary_host():
+            return  # shared fs: every host makes the same decision, host 0 records it
         with open(policy_cfg_file(self.cfg, policy_id), "w") as f:
             json.dump(self.policy_hparams[policy_id], f, indent=2)
         if self.policy_reward_shaping[policy_id] is not None:

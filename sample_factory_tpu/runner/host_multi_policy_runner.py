@@ -185,10 +185,14 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
         policy_avg_stats under cfg.pbt_target_objective (reference
         pbt_target_objective flag, e.g. dmlab_target_objective), falling back
         to the windowed episodic reward (reference 'true_objective' default)."""
+        from sample_factory_tpu.parallel.multihost import broadcast_objectives
+
         custom = self.policy_avg_stats.get(self.cfg.pbt_target_objective)
         if custom is not None:
-            return [float(np.mean(custom[p])) if len(custom[p]) else None for p in range(self.P)]
-        return [es.avg_reward for es in self.episode_stats_per_policy]
+            objectives = [float(np.mean(custom[p])) if len(custom[p]) else None for p in range(self.P)]
+        else:
+            objectives = [es.avg_reward for es in self.episode_stats_per_policy]
+        return broadcast_objectives(objectives)
 
     def _process_selfplay_stats(self, stats, ep_stats) -> None:
         now = time.time()

@@ -186,17 +186,25 @@ class MultiPolicyRunner(Runner):
 
     def _pbt_objectives(self):
         """Custom PBT target stat from policy_avg_stats (cfg.pbt_target_objective,
-        reference pbt/population_based_training.py), else windowed reward."""
+        reference pbt/population_based_training.py), else windowed reward.
+        Multihost: host 0's objectives are broadcast so every host makes the
+        same exploit/explore decisions (PBT RNG is seeded identically)."""
         import numpy as np
+
+        from sample_factory_tpu.parallel.multihost import broadcast_objectives
 
         custom = self.policy_avg_stats.get(self.cfg.pbt_target_objective)
         if custom is not None:
-            return [float(np.mean(custom[p])) if len(custom[p]) else None for p in range(self.P)]
-        return [es.avg_reward for es in self.episode_stats_per_policy]
+            objectives = [float(np.mean(custom[p])) if len(custom[p]) else None for p in range(self.P)]
+        else:
+            objectives = [es.avg_reward for es in self.episode_stats_per_policy]
+        return broadcast_objectives(objectives)
 
     def _process_population_stats(self, stats, ep_stats) -> None:
         now = time.time()
         self.fps_tracker.add(now, self.env_steps)
+        # per-policy ep sums come out of the global SPMD program — already
+        # cross-host totals on every host (see Runner._process_stats)
         ep = jax.device_get(ep_stats)
         for p in range(self.P):
             self.episode_stats_per_policy[p].add_rollout_stats(

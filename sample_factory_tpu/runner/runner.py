@@ -285,6 +285,11 @@ class Runner:
     def _process_stats(self, stats: Dict[str, Any], ep_stats: Dict[str, Any]) -> None:
         now = time.time()
         self.fps_tracker.add(now, self.env_steps)
+        # multihost note: ep_stats are jnp.sums over the GLOBALLY sharded env
+        # axis inside the jitted program (algo/sampling.py), so under GSPMD
+        # they are already cross-host totals, replicated on every host — no
+        # host-side aggregation needed (tested in tests/test_multihost.py);
+        # env_steps/fps likewise count global envs (cfg.num_envs is global)
         ep = jax.device_get(ep_stats)
         self.episode_stats.add_rollout_stats(
             float(ep["count"]), float(ep["return_sum"]), float(ep["len_sum"])

@@ -73,10 +73,19 @@ class EpisodeStats:
 class SummaryWriter:
     def __init__(self, cfg, policy_id: int = 0):
         self.cfg = cfg
+        # stats fed to writers are host-aggregated (multihost.aggregate_episode_sums),
+        # so on multihost runs only host 0 writes — summary dirs live on a
+        # shared filesystem and N identical writers would clobber each other
+        from sample_factory_tpu.parallel.multihost import is_primary_host
+
+        self._noop = not is_primary_host()
+        self._jsonl = None
+        self._tb = None
+        if self._noop:
+            return
         self.dir = summaries_dir(cfg, policy_id)
         self.jsonl_path = join(self.dir, "summaries.jsonl")
         self._jsonl = open(self.jsonl_path, "a")
-        self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter as TbWriter
 
@@ -85,6 +94,8 @@ class SummaryWriter:
             log.debug("tensorboard not available; writing JSONL summaries only")
 
     def write(self, env_steps: int, scalars: Dict[str, float], prefix: str = "train") -> None:
+        if self._noop:
+            return
         record = {"env_steps": env_steps, "time": time.time()}
         record.update({f"{prefix}/{k}": v for k, v in scalars.items()})
         self._jsonl.write(json.dumps(record) + "\n")
@@ -95,16 +106,22 @@ class SummaryWriter:
     def add_scalar(self, key: str, value: float, env_steps: int) -> None:
         """tensorboardX-compatible single-scalar write (used by AlgoObserver
         extra_summaries hooks, reference runner.py:70-73)."""
+        if self._noop:
+            return
         self._jsonl.write(json.dumps({"env_steps": env_steps, "time": time.time(), key: float(value)}) + "\n")
         if self._tb is not None:
             self._tb.add_scalar(key, value, env_steps)
 
     def flush(self) -> None:
+        if self._noop:
+            return
         self._jsonl.flush()
         if self._tb is not None:
             self._tb.flush()
 
     def close(self) -> None:
+        if self._noop:
+            return
         self.flush()
         self._jsonl.close()
         if self._tb is not None:
