@@ -377,10 +377,23 @@ class EnvSlotStepper:
             for s in range(self.K):
                 env = self.envs[s][0]
                 if hasattr(env, "set_reward_shaping") and (slot_mask is None or slot_mask[s].any()):
+                    if slot_mask is not None and not slot_mask[s].all():
+                        # a batched pool applies shaping to the whole split —
+                        # with multi-policy PBT one policy's shaping would leak
+                        # to another policy's envs; surface it loudly
+                        log.warning(
+                            "set_reward_shaping on a batched vector env covers the whole split "
+                            "but slot_mask selects only %d/%d slots (split %d): shaping leaks to "
+                            "other policies' envs. Use per-env (non-batched) envs for "
+                            "multi-policy reward-shaping PBT.",
+                            int(slot_mask[s].sum()),
+                            slot_mask[s].size,
+                            s,
+                        )
                     try:
                         env.set_reward_shaping(shaping, 0)
-                    except Exception:  # noqa: BLE001
-                        pass
+                    except Exception as exc:  # noqa: BLE001
+                        log.warning("set_reward_shaping failed on batched env (split %d): %s", s, exc)
             return
         for s in range(self.K):
             for e in range(self.E):
@@ -392,8 +405,8 @@ class EnvSlotStepper:
                     if slot_mask is None or slot_mask[s, slot]:
                         try:
                             env.set_reward_shaping(shaping, a)
-                        except Exception:  # noqa: BLE001 - env may not support per-agent
-                            pass
+                        except Exception as exc:  # noqa: BLE001 - env may not support per-agent
+                            log.debug("set_reward_shaping failed (split %d env %d agent %d): %s", s, e, a, exc)
 
     def close(self) -> None:
         for row in self.envs:

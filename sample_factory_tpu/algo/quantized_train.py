@@ -77,6 +77,11 @@ class QuantizedTrainer:
         self._state: Dict[str, Any] = {}
         self._traj = None
         self._rng = np.random.default_rng(cfg.seed if cfg.seed is not None else 0)
+        # dispatch accounting: quanta dispatched during rollouts (via idle_fn)
+        # vs drained at flush() — the load-insensitive overlap signal
+        # (tests assert on this instead of raw wall-clock ratios)
+        self.total_quanta_enqueued = 0
+        self.quanta_drained_at_flush = 0
 
     @property
     def pending(self) -> int:
@@ -118,6 +123,7 @@ class QuantizedTrainer:
                 st["ts"] = self._lr(st["ts"], jnp.stack(epoch_kls))
 
             self._thunks.append(q_lr)
+        self.total_quanta_enqueued += len(self._thunks)
 
     def dispatch_one(self) -> bool:
         """Dispatch the next quantum (non-blocking). Returns True while more
@@ -129,6 +135,7 @@ class QuantizedTrainer:
     def flush(self) -> Tuple[PolicyTrainState, Dict[str, jnp.ndarray]]:
         """Dispatch any remaining quanta and return (train_state, stats) —
         still futures; nothing here blocks the host."""
+        self.quanta_drained_at_flush += len(self._thunks)
         while self._thunks:
             self.dispatch_one()
         st = self._state

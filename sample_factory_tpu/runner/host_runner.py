@@ -118,6 +118,14 @@ class HostEnvRunner(Runner):
                 cfg, self.env_info, self.model, tx, self.policy_id, num_envs=self.sampler.num_envs
             )
             self._pacer = _QuantaPacer(self._quantizer, slots=cfg.rollout * cfg.worker_num_splits)
+        elif cfg.async_rl:
+            log.warning(
+                "--async_rl=True with --shuffle_minibatches=True: the quantized overlapped "
+                "learner requires contiguous minibatches, so training falls back to the fused "
+                "(non-overlapped) train step — async snapshot semantics are kept but throughput "
+                "matches sync mode. Set --shuffle_minibatches=False to overlap training with "
+                "env stepping (see docs/performance.md)."
+            )
         log.info(
             "HostEnvRunner: %d workers x %d envs (%d total), serial=%s, async=%s",
             cfg.num_workers,
@@ -189,7 +197,11 @@ class HostEnvRunner(Runner):
                 self.env_steps += transitions_per_iter * frameskip
                 self._process_stats(stats, ep_stats)
                 self._periodic_tasks(stats if stats is not None else self._last_stats)
-                self._notify_observers(stats)
+                # quantized async: flush() stats describe the PREVIOUS
+                # iteration's train step (one-iteration stats lag, inherent to
+                # the overlap); on the first iteration there are none yet —
+                # observers always get a dict of device arrays, never None
+                self._notify_observers(stats if stats is not None else (self._last_stats or {}))
         except KeyboardInterrupt:
             log.info("Interrupted, saving checkpoint...")
             status = 1

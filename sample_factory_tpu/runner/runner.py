@@ -59,7 +59,10 @@ class AlgoObserver:
         pass
 
     def on_training_iteration(self, runner, stats) -> None:
-        """Called after every training iteration (stats are device arrays)."""
+        """Called after every training iteration. `stats` is a dict of device
+        arrays; in quantized async mode (host envs, --async_rl) it describes
+        the PREVIOUS iteration's train step (one-iteration lag inherent to the
+        overlap) and is empty ({}) on the very first iteration."""
 
     def extra_summaries(self, runner, policy_id: int, writer, env_steps: int) -> None:
         """Called at every summary report; write custom scalars to the writer

@@ -52,6 +52,20 @@ class EnvPoolBatchedEnv:
 
     def step(self, actions):
         obs, rewards, terminated, truncated, info = self.pool.step(np.asarray(actions))
+        # envpool returns the TERMINAL obs on the done step and resets on the
+        # NEXT step (ignoring that step's action); the batched contract wants
+        # the next episode's first obs at done. Reset the done envs explicitly
+        # (reference sf_examples/envpool/envpool_wrappers.py:28-38
+        # EnvPoolResetFixWrapper does exactly this).
+        needs_reset = np.nonzero(np.asarray(terminated) | np.asarray(truncated))[0]
+        if needs_reset.size:
+            reset_out = self.pool.reset(needs_reset)
+            reset_obs = reset_out[0] if isinstance(reset_out, tuple) else reset_out
+            if isinstance(obs, dict):
+                for k in obs:
+                    obs[k][needs_reset] = reset_obs[k]
+            else:
+                obs[needs_reset] = reset_obs
         return obs, rewards, terminated, truncated, info
 
     def close(self) -> None:

@@ -108,12 +108,29 @@ def test_async_overlaps_training_with_env_stepping(tmp_path):
     sync_iter, _ = _run_mode(tmp_path, "False")
     async_iter, async_runner = _run_mode(tmp_path, "True")
 
+    # primary assertion (load-insensitive): the quantizer's dispatch accounting
+    # proves the overlap structurally — nearly all learner quanta must have
+    # been dispatched INSIDE collect_rollout (via the pacer's idle_fn), not
+    # drained at flush(). Wall-clock ratios flake on loaded CI boxes; this
+    # counter does not.
+    q = async_runner._quantizer
+    overlap_frac = 1.0 - q.quanta_drained_at_flush / max(1, q.total_quanta_enqueued)
     speedup = sync_iter / async_iter
-    print(f"sync {sync_iter*1e3:.0f}ms/iter, async {async_iter*1e3:.0f}ms/iter, speedup {speedup:.2f}x")
-    # development measurement: ~1.55x; assert with margin for CI noise
-    assert speedup >= 1.30, (
+    print(
+        f"sync {sync_iter*1e3:.0f}ms/iter, async {async_iter*1e3:.0f}ms/iter, "
+        f"speedup {speedup:.2f}x, overlap_frac {overlap_frac:.3f}"
+    )
+    # the final flush in Runner.run's finally block drains at most one train
+    # step's worth of quanta; everything else must have gone through idle slots
+    assert overlap_frac >= 0.80, (
+        f"learner quanta must dispatch during rollouts: {q.quanta_drained_at_flush}/"
+        f"{q.total_quanta_enqueued} drained at flush (overlap_frac={overlap_frac:.3f})"
+    )
+    # secondary, loose wall-clock sanity bound (development measurement ~1.55x;
+    # kept loose because this 2-core box runs XLA + env workers + other suites)
+    assert speedup >= 1.10, (
         f"async mode must overlap training with env stepping: sync={sync_iter:.3f}s "
-        f"async={async_iter:.3f}s speedup={speedup:.2f}x (< 1.30x)"
+        f"async={async_iter:.3f}s speedup={speedup:.2f}x (< 1.10x)"
     )
 
     # policy-lag accounting: trajectories were collected with a stale snapshot
