@@ -105,7 +105,9 @@ def _build_geometry():
             )
         )
         # ankle: upper <-> lower, flexes about the horizontal axis
-        # perpendicular to the leg diagonal
+        # perpendicular to the leg diagonal (tighter limit than the hip: the
+        # ankle carries the torso's weight, so its free range bounds how far
+        # the stance can crouch)
         perp = np.cross([0.0, 0.0, 1.0], diag[i])
         joints.append(
             dict(
@@ -114,7 +116,7 @@ def _build_geometry():
                 anchor_p=(diag[i] * (upper_len / 2)).tolist(),
                 anchor_c=(-down_out[i] * (lower_len / 2)).tolist(),
                 axis=(perp / np.linalg.norm(perp)).tolist(),
-                limit=np.pi / 4,
+                limit=np.pi / 6,
             )
         )
 
@@ -131,21 +133,58 @@ def _build_geometry():
         ]
         col_r += [0.06, 0.06, 0.05, 0.05]
 
+    # rest direction of each child link in the PARENT frame: hip joints swing
+    # the upper leg (rest = horizontal diagonal), ankles flex the lower leg
+    # (rest = 45 deg down-outward). Joint angles are measured as the deviation
+    # of the current link direction from this rest direction about the hinge
+    # axis. The ankle rest is PRELOADED ~13 deg further down ("muscle tone"):
+    # the stance leverage is such that gravity flexes each ankle by
+    # ~asin(gravity_torque/k_rest) — preloading by that angle makes the
+    # standing pose (not a bellyflop crouch) the loaded equilibrium.
+    def _rodrigues(axis, theta, v):
+        axis = axis / np.linalg.norm(axis)
+        return (
+            v * np.cos(theta)
+            + np.cross(axis, v) * np.sin(theta)
+            + axis * np.dot(axis, v) * (1 - np.cos(theta))
+        )
+
+    preload = np.arcsin(0.225)  # ~= gravity ankle torque (~4.5 N*m) / k_rest (20)
+    jrest_p = []
+    for i in range(4):
+        jrest_p.append(diag[i].tolist())  # hip
+        ax = np.cross([0.0, 0.0, 1.0], diag[i])
+        ax /= np.linalg.norm(ax)
+        cand_a = _rodrigues(ax, preload, down_out[i])
+        cand_b = _rodrigues(ax, -preload, down_out[i])
+        jrest_p.append((cand_a if cand_a[2] < cand_b[2] else cand_b).tolist())  # ankle, foot-down preload
+
     geo = dict(
         body_pos=np.asarray([b["pos"] for b in bodies], np.float32),
         body_mass=np.asarray([b["mass"] for b in bodies], np.float32),
-        # isotropic inertia (solid-sphere approximation; keeps the angular
-        # update diagonal and the integrator robust — a "minimal physics"
-        # simplification, not an engine bug)
+        # isotropic inertia (solid-sphere approximation with a fattened radius
+        # floor; keeps the angular update diagonal and the penalty
+        # articulation's angular stiffness modes inside the integrator's
+        # stability region — a "minimal physics" simplification)
         body_inertia=np.asarray(
-            [0.4 * b["mass"] * max(b["radius"], 0.12) ** 2 for b in bodies], np.float32
+            [0.4 * b["mass"] * max(b["radius"], 0.16) ** 2 for b in bodies], np.float32
         ),
         jp=np.asarray([j["parent"] for j in joints], np.int32),
         jc=np.asarray([j["child"] for j in joints], np.int32),
+        # one-hot accumulation matrices: force/torque contributions sum onto
+        # bodies via dense [NB, NJ/NC] x [NJ/NC, 3] matmuls instead of
+        # scatter-adds — scatters are slow to compile and run on XLA backends
+        # while tiny matmuls fuse cleanly (and hit the MXU when vmapped)
+        acc_jp=np.eye(9, dtype=np.float32)[:, [j["parent"] for j in joints]],
+        acc_jc=np.eye(9, dtype=np.float32)[:, [j["child"] for j in joints]],
+        acc_cb=np.eye(9, dtype=np.float32)[:, col_body],
         ja_p=np.asarray([j["anchor_p"] for j in joints], np.float32),
         ja_c=np.asarray([j["anchor_c"] for j in joints], np.float32),
         jaxis=np.asarray([j["axis"] for j in joints], np.float32),
-        jlimit=np.asarray([j["limit"] for j in joints], np.float32),
+        jrest_p=np.asarray(jrest_p, np.float32),
+        # limits stored as sin(limit): compared against the sine of the
+        # deviation angle (small-angle proxy, exact at the rest pose)
+        jlimit_sin=np.asarray([np.sin(j["limit"]) for j in joints], np.float32),
         col_body=np.asarray(col_body, np.int32),
         col_off=np.asarray(col_off, np.float32),
         col_r=np.asarray(col_r, np.float32),
@@ -161,7 +200,7 @@ class AntEnv(DeviceEnv):
     NB = 9  # bodies
     NJ = 8  # joints
 
-    def __init__(self, episode_len: int = 1000, substeps: int = 8, ctrl_hz: float = 60.0):
+    def __init__(self, episode_len: int = 1000, substeps: int = 16, ctrl_hz: float = 60.0):
         self.episode_len = episode_len
         self.substeps = substeps
         self.dt = 1.0 / (ctrl_hz * substeps)
@@ -169,13 +208,26 @@ class AntEnv(DeviceEnv):
         self.geo = {k: jnp.asarray(v) for k, v in g.items()}
         self.obs_space = make_dict_spec({"obs": Box((59,), -np.inf, np.inf)})
         self.action_space = Box((self.NJ,), -1.0, 1.0)
-        # physics gains (penalty articulation)
-        self.k_joint, self.c_joint = 4000.0, 40.0
-        self.k_axis, self.c_axis = 60.0, 1.0
-        self.k_contact, self.c_contact = 6000.0, 30.0
+        # physics gains (penalty articulation), tuned so every spring-damper
+        # mode satisfies omega*dt < ~0.25 and gamma*dt < ~0.5 at the default
+        # dt = 1/960 (the semi-implicit-Euler stability budget; the binding
+        # mode is the ANGULAR joint stiffness k_joint*arm^2/inertia)
+        # k_axis is the articulation's structural rigidity (it resists any
+        # relative rotation off the hinge axis — e.g. the upper legs tilting
+        # under the torso's weight); it must dominate gravity torques (~8 N*m)
+        self.k_joint, self.c_joint = 3000.0, 30.0
+        self.k_axis, self.c_axis = 150.0, 1.0
+        self.k_contact, self.c_contact = 4000.0, 30.0
         self.friction_mu = 0.9
-        self.gear = 8.0
-        self.k_limit = 40.0
+        self.gear = 6.0
+        self.k_limit = 150.0
+        # posture spring toward the rest pose (muscle tone; without it the
+        # penalty articulation sags at the free hinge DoF until the soft
+        # limits engage and the torso sinks into a crouch that kills the
+        # locomotion geometry). Sized so gravity's ankle torque (~2.5 N*m)
+        # deflects onto the preloaded rest pose (see _build_geometry) and the
+        # actuators (gear 6) retain ~+-17 deg authority around the stance
+        self.k_rest = 20.0
         self.reward_shaping = {"forward_w": 1.0, "ctrl_cost_w": 0.5, "alive_bonus": 0.5}
 
     # --------------------------------------------------------------- dynamics
@@ -183,8 +235,9 @@ class AntEnv(DeviceEnv):
     def _substep(self, pos, quat, vel, ang, torque_act):
         """One semi-implicit Euler step. All arrays [NB, ...] for one env."""
         geo = self.geo
-        force = jnp.zeros((self.NB, 3)).at[:, 2].add(-9.81 * geo["body_mass"])
-        torque = jnp.zeros((self.NB, 3))
+        gravity = jnp.concatenate(
+            [jnp.zeros((self.NB, 2)), (-9.81 * geo["body_mass"])[:, None]], axis=-1
+        )
 
         # --- joints: ball-socket spring-damper + hinge alignment + actuation
         jp, jc = geo["jp"], geo["jc"]
@@ -195,8 +248,8 @@ class AntEnv(DeviceEnv):
         vp = vel[jp] + jnp.cross(ang[jp], rp)
         vc = vel[jc] + jnp.cross(ang[jc], rc)
         f_j = self.k_joint * (wc - wp) + self.c_joint * (vc - vp)  # pulls anchors together
-        force = force.at[jp].add(f_j).at[jc].add(-f_j)
-        torque = torque.at[jp].add(jnp.cross(rp, f_j)).at[jc].add(jnp.cross(rc, -f_j))
+        force = gravity + (geo["acc_jp"] - geo["acc_jc"]) @ f_j
+        torque = geo["acc_jp"] @ jnp.cross(rp, f_j) + geo["acc_jc"] @ jnp.cross(rc, -f_j)
 
         # hinge: keep child axis aligned with parent axis; damp relative spin
         ax_p = quat_rotate(quat[jp], geo["jaxis"])
@@ -204,20 +257,18 @@ class AntEnv(DeviceEnv):
         t_align = self.k_axis * jnp.cross(ax_c, ax_p)
         rel_w = ang[jc] - ang[jp]
         t_damp = self.c_axis * rel_w
-        # joint angle about the hinge axis (for soft limits): signed angle of
-        # the child's twist relative to the parent, approximated by the
-        # projection of the relative rotation onto the axis
-        qrel_vec = quat_rotate(quat[jc], geo["ja_c"]) - quat_rotate(quat[jp], -geo["ja_p"])
-        angle = jnp.sum(jnp.cross(
-            quat_rotate(quat[jp], geo["ja_p"]) / (jnp.linalg.norm(geo["ja_p"], axis=-1, keepdims=True) + 1e-6),
-            quat_rotate(quat[jc], -geo["ja_c"]) / (jnp.linalg.norm(geo["ja_c"], axis=-1, keepdims=True) + 1e-6),
-        ) * ax_p, axis=-1)
-        over = jnp.clip(jnp.abs(angle) - geo["jlimit"], 0.0, None) * jnp.sign(angle)
-        t_limit = -self.k_limit * over[:, None] * ax_p
+        # joint deviation about the hinge axis, measured against the REST link
+        # direction carried in the parent frame (exactly 0 at the rest pose):
+        # sin(angle) = (d_rest x d_link) . axis
+        d_link = quat_rotate(quat[jc], -geo["ja_c"])
+        d_link = d_link / (jnp.linalg.norm(d_link, axis=-1, keepdims=True) + 1e-6)
+        d_rest = quat_rotate(quat[jp], geo["jrest_p"])
+        sin_angle = jnp.sum(jnp.cross(d_rest, d_link) * ax_p, axis=-1)
+        over = jnp.clip(jnp.abs(sin_angle) - geo["jlimit_sin"], 0.0, None) * jnp.sign(sin_angle)
+        t_limit = -(self.k_limit * over + self.k_rest * sin_angle)[:, None] * ax_p
         t_act = (torque_act * self.gear)[:, None] * ax_p
         t_child = t_align - t_damp + t_act + t_limit
-        torque = torque.at[jc].add(t_child).at[jp].add(-t_child)
-        del qrel_vec
+        torque = torque + (geo["acc_jc"] - geo["acc_jp"]) @ t_child
 
         # --- ground contact (z = 0 plane) on collision spheres
         cb = geo["col_body"]
@@ -231,8 +282,8 @@ class AntEnv(DeviceEnv):
         vt_norm = jnp.linalg.norm(vt, axis=-1, keepdims=True) + 1e-6
         ft_mag = jnp.minimum(self.friction_mu * fn, 60.0 * vt_norm[:, 0])
         f_c = jnp.concatenate([-ft_mag[:, None] * vt[:, :2] / vt_norm, fn[:, None]], axis=-1)
-        force = force.at[cb].add(f_c)
-        torque = torque.at[cb].add(jnp.cross(off_w, f_c))
+        force = force + geo["acc_cb"] @ f_c
+        torque = torque + geo["acc_cb"] @ jnp.cross(off_w, f_c)
 
         # --- integrate (semi-implicit Euler, isotropic inertia)
         vel = vel + self.dt * force / geo["body_mass"][:, None]
@@ -247,14 +298,14 @@ class AntEnv(DeviceEnv):
         geo = self.geo
         jp, jc = geo["jp"], geo["jc"]
         ax_p = quat_rotate(quat[jp], geo["jaxis"])
-        # per-joint: bend angle proxy (dot of the two link directions) and
+        # per-joint: rest-relative bend (cos of deviation, 1 at rest) and
+        # signed deviation about the hinge axis (sin, 0 at rest), plus the
         # relative angular velocity
-        dir_p = quat_rotate(quat[jp], geo["ja_p"])
-        dir_c = quat_rotate(quat[jc], -geo["ja_c"])
-        bend = jnp.sum(dir_p * dir_c, axis=-1) / (
-            jnp.linalg.norm(dir_p, axis=-1) * jnp.linalg.norm(dir_c, axis=-1) + 1e-6
-        )
-        twist = jnp.sum(jnp.cross(dir_p, dir_c) * ax_p, axis=-1)
+        d_link = quat_rotate(quat[jc], -geo["ja_c"])
+        d_link = d_link / (jnp.linalg.norm(d_link, axis=-1, keepdims=True) + 1e-6)
+        d_rest = quat_rotate(quat[jp], geo["jrest_p"])
+        bend = jnp.sum(d_rest * d_link, axis=-1)
+        twist = jnp.sum(jnp.cross(d_rest, d_link) * ax_p, axis=-1)
         rel_w = ang[jc] - ang[jp]
         feet_fn = contact_fn[3::4]  # lower-leg outer endpoints = the 4 feet
         return jnp.concatenate(
@@ -267,7 +318,7 @@ class AntEnv(DeviceEnv):
                 twist,  # 8
                 rel_w.reshape(-1),  # 24
                 jnp.tanh(feet_fn / 100.0),  # 4 foot-contact signals
-                jnp.zeros((3,)),  # padding to 59 (reserved)
+                jnp.zeros((4,)),  # padding to 59 (reserved)
             ]
         ).astype(jnp.float32)
 
@@ -304,7 +355,7 @@ class AntEnv(DeviceEnv):
         reward = sh["forward_w"] * forward_v + sh["alive_bonus"] - sh["ctrl_cost_w"] * 0.1 * ctrl_cost
 
         z = pos[0, 2]
-        unhealthy = (z < 0.23) | (z > 1.2) | (quat[0, 0] < 0.35)  # fallen or flipped
+        unhealthy = (z < 0.20) | (z > 1.2) | (quat[0, 0] < 0.35)  # fallen or flipped
         terminated = unhealthy
         truncated = (~terminated) & (steps >= self.episode_len)
         new_state = dict(pos=pos, quat=quat, vel=vel, ang=ang, steps=steps)
@@ -319,6 +370,10 @@ class AntEnv(DeviceEnv):
 
 
 def make_ant_env(full_env_name: str, cfg=None, env_config=None, render_mode=None) -> AntEnv:
+    # "ant_short" = truncates at 150 control steps: keeps CI learning tests
+    # and benchmarks that only need steady-state stepping cheap
+    if full_env_name == "ant_short":
+        return AntEnv(episode_len=150)
     return AntEnv()
 
 

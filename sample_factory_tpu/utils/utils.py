@@ -156,6 +156,17 @@ def configure_jax_platform(cfg) -> None:
     device = getattr(cfg, "device", "auto")
     if device in (None, "auto", "tpu"):
         return
+    import os
+
+    if device == "cpu" and "xla_backend_optimization_level" not in os.environ.get("XLA_FLAGS", ""):
+        # XLA:CPU's O2 LLVM backend hits a pathological pass (minutes-long
+        # compiles) on some fused gather+elementwise kernels, e.g. the ant
+        # physics substep; O1 compiles the same graphs in seconds and CPU is
+        # the debug path anyway. Must be set before backend initialization.
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=1"
+        ).strip()
+
     import jax
 
     target = {"cpu": "cpu", "gpu": "cuda"}[device]

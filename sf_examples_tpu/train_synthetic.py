@@ -41,6 +41,15 @@ def override_defaults(parser):
 def register_synthetic_components():
     for name in ("synthetic_discrete", "synthetic_vector_discrete", "synthetic_continuous", "synthetic_tuple", "synthetic_masked", "grid_battle", "grid_battle_small"):
         register_env(name, make_synthetic_env)
+    # on-device physics ant (the IsaacGym-Ant analog; envs/builtin/ant.py)
+    from sample_factory_tpu.envs.builtin.ant import register_ant
+
+    register_ant("ant")
+    register_ant("ant_short")
+    # on-device 2-agent self-play duel (the doom-duel analog)
+    from sample_factory_tpu.envs.builtin.grid_duel import register_grid_duel
+
+    register_grid_duel()
 
 
 def parse_custom_args(argv=None, evaluation=False):

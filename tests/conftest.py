@@ -15,7 +15,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+    xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in xla_flags:
+    # this box's XLA:CPU backend has a pathological O2 LLVM pass for fused
+    # gather+cross elementwise kernels (e.g. the ant physics substep: 150-500s
+    # to compile at O2, ~2s at O1); O1 is plenty for test-size workloads
+    xla_flags = (xla_flags + " --xla_backend_optimization_level=1").strip()
+os.environ["XLA_FLAGS"] = xla_flags
 
 import jax
 

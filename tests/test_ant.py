@@ -1,0 +1,177 @@
+"""AntEnv on-device physics: dynamics invariants + end-to-end learning.
+
+The physics term of the IsaacGym-Ant benchmark comparison (reference
+`sample_factory/benchmarking/benchmarking_isaacgym_ant.txt`): these tests pin
+down the simulator's contract — a stable standing equilibrium, bounded
+energies under actuation, health-based termination, time-limit truncation,
+determinism — and that PPO improves the locomotion reward end to end.
+"""
+
+import glob
+import json
+from os.path import join
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sample_factory_tpu.algo.context import reset_global_context
+from sample_factory_tpu.envs.builtin.ant import AntEnv
+from sample_factory_tpu.envs.device_env import autoreset_step, vector_reset, vector_step
+from sample_factory_tpu.train import run_rl
+from sf_examples_tpu.train_synthetic import parse_custom_args, register_synthetic_components
+
+
+@pytest.fixture(scope="module")
+def env_and_step():
+    env = AntEnv(episode_len=150)
+    return env, jax.jit(env.step)
+
+
+def _settle(env, step, key, n=40):
+    obs, st = env.reset(key)
+    for _ in range(n):
+        key, k = jax.random.split(key)
+        obs, st, r, term, trunc, info = step(k, st, jnp.zeros((8,)))
+        assert not bool(term)
+    return obs, st, key
+
+
+def test_obs_matches_space(env_and_step):
+    env, step = env_and_step
+    obs, state = env.reset(jax.random.PRNGKey(0))
+    (name, box), = env.obs_space.spaces
+    assert name == "obs" and obs["obs"].shape == box.shape
+    assert bool(jnp.all(jnp.isfinite(obs["obs"])))
+
+
+def test_standing_equilibrium(env_and_step):
+    """Zero action = muscle tone holds the stance: the torso settles in the
+    healthy band and never terminates."""
+    env, step = env_and_step
+    obs, st, _ = _settle(env, step, jax.random.PRNGKey(1), n=80)
+    z = float(st["pos"][0, 2])
+    assert 0.27 < z < 0.45, f"standing torso height {z}"
+    # torso stays upright
+    assert float(st["quat"][0, 0]) > 0.9
+
+
+def test_bounded_energy_under_random_actions(env_and_step):
+    """Penalty-based articulation must stay inside the integrator's stability
+    region: full-range random torques never blow up positions/velocities."""
+    env, step = env_and_step
+    key = jax.random.PRNGKey(2)
+    obs, st = env.reset(key)
+    for _ in range(120):
+        key, k, ka = jax.random.split(key, 3)
+        a = jax.random.uniform(ka, (8,), minval=-1.0, maxval=1.0)
+        obs, st, r, term, trunc, info = step(k, st, a)
+    assert bool(jnp.all(jnp.isfinite(obs["obs"])))
+    assert float(jnp.max(jnp.abs(st["vel"]))) < 20.0
+    assert float(jnp.max(jnp.abs(st["pos"][:, 2]))) < 2.0
+
+
+def test_actuators_move_the_torso(env_and_step):
+    """Each actuator has a distinct, significant effect on torso velocity —
+    the action->reward gradient PPO needs."""
+    env, step = env_and_step
+    obs, base, key = _settle(env, step, jax.random.PRNGKey(3))
+    speeds = []
+    for j in range(8):
+        st = base
+        a = jnp.zeros((8,)).at[j].set(1.0)
+        for _ in range(5):
+            key, k = jax.random.split(key)
+            obs, st, r, term, trunc, info = step(k, st, a)
+        speeds.append(float(jnp.linalg.norm(st["vel"][0, :2])))
+    assert min(speeds) > 0.02, f"dead actuator: {speeds}"
+
+
+def test_termination_when_fallen(env_and_step):
+    env, step = env_and_step
+    obs, st = env.reset(jax.random.PRNGKey(4))
+    fallen = dict(st)
+    fallen["pos"] = st["pos"].at[:, 2].add(-0.30)  # drop the whole body
+    obs, st2, r, term, trunc, info = step(jax.random.PRNGKey(5), fallen, jnp.zeros((8,)))
+    assert bool(term) and not bool(trunc)
+
+
+def test_truncation_and_autoreset(env_and_step):
+    env, step = env_and_step
+    key = jax.random.PRNGKey(6)
+    obs, st = env.reset(key)
+    done_seen = False
+    for i in range(155):
+        key, k = jax.random.split(key)
+        obs, st, r, done, info = autoreset_step(env, k, st, jnp.zeros((8,)))
+        if bool(done):
+            assert i == 149  # steps counter reached episode_len
+            assert bool(info["truncated"]) and bool(info["time_outs"]) and not bool(info["terminated"])
+            done_seen = True
+            break
+    assert done_seen
+    # autoreset replaced the state with a fresh episode
+    assert int(st["steps"]) == 0
+    assert 0.35 < float(st["pos"][0, 2]) < 0.45
+
+
+def test_step_deterministic(env_and_step):
+    env, step = env_and_step
+    key = jax.random.PRNGKey(7)
+    obs, st = env.reset(key)
+    a = jnp.asarray([0.3, -0.5, 0.7, 0.1, -0.2, 0.9, -0.8, 0.4])
+    o1 = step(key, st, a)
+    o2 = step(key, st, a)
+    for x, y in zip(jax.tree.leaves(o1[:5]), jax.tree.leaves(o2[:5])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_vectorized_batch(env_and_step):
+    env, _ = env_and_step
+    key = jax.random.PRNGKey(8)
+    obs, states = vector_reset(env, key, 8)
+    assert obs["obs"].shape == (8, 59)
+    actions = jax.random.uniform(jax.random.fold_in(key, 1), (8, 8), minval=-1, maxval=1)
+    obs, states, rewards, dones, infos = jax.jit(
+        lambda k, s, a: vector_step(env, k, s, a)
+    )(key, states, actions)
+    assert obs["obs"].shape == (8, 59) and rewards.shape == (8,)
+    assert bool(jnp.all(jnp.isfinite(obs["obs"])))
+
+
+def test_ant_learns(tmp_path):
+    """PPO improves the locomotion reward end to end through the device
+    runner (short horizon, small budget; the full-scale run is bench.py)."""
+    reset_global_context()
+    register_synthetic_components()
+    argv = [
+        "--env=ant_short",
+        "--experiment=ant",
+        f"--train_dir={tmp_path}",
+        "--seed=0",
+        "--device=cpu",
+        "--use_rnn=False",
+        "--encoder_mlp_layers", "128", "64",
+        "--num_envs=128",
+        "--rollout=16",
+        "--batch_size=2048",
+        "--num_epochs=4",
+        "--learning_rate=1e-3",
+        "--gamma=0.99",
+        "--normalize_input=True",
+        "--normalize_returns=True",
+        "--train_for_env_steps=600000",
+        "--experiment_summaries_interval=2",
+    ]
+    cfg = parse_custom_args(argv)
+    assert run_rl(cfg) == 0
+    jsonl = glob.glob(join(str(tmp_path), "ant", ".summary", "0", "summaries.jsonl"))[0]
+    rewards = [json.loads(l)["train/reward"] for l in open(jsonl) if "train/reward" in json.loads(l)]
+    assert len(rewards) >= 3
+    # the ant must beat the random-policy plateau by a clear margin (TPU
+    # calibration of this exact cfg: 39.6 -> ~56 by 600k steps; the same
+    # improvement requires learning to cut ctrl cost + stay healthy + move)
+    assert max(rewards) > rewards[0] + 3.0, f"did not improve: first={rewards[0]}, max={max(rewards)}"
+    reset_global_context()
