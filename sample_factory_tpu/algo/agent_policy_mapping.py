@@ -28,12 +28,19 @@ class AgentPolicyMapping:
         """Policy index per agent-slot. Slots are env-major: env_idx * A + agent_idx."""
         A, P = self.num_agents, self.num_policies
         num_envs = num_slots // A
-        if self.sync_mode or not self.mix_policies_in_one_env:
-            # deterministic: all agents of env e get policy (e % P)
-            per_env = np.arange(num_envs) % P
-            return np.repeat(per_env, A).astype(np.int32)
-        # mixing: independent random policy per agent slot
-        return self.rng.integers(0, P, size=num_slots).astype(np.int32)
+        if self.mix_policies_in_one_env:
+            if self.sync_mode:
+                # deterministic mixing: slot s gets policy s % P — equal
+                # experience per policy per iteration AND policies meet each
+                # other within envs (the reference can only mix in async mode,
+                # agent_policy_mapping.py:47-59; sync mixing is an extension
+                # enabled by the population being one stacked program here)
+                return (np.arange(num_slots) % P).astype(np.int32)
+            # async mixing: independent random policy per agent slot
+            return self.rng.integers(0, P, size=num_slots).astype(np.int32)
+        # deterministic: all agents of env e get policy (e % P)
+        per_env = np.arange(num_envs) % P
+        return np.repeat(per_env, A).astype(np.int32)
 
     def maybe_resample(self, slot_policies: np.ndarray, episodes_completed: int) -> np.ndarray:
         """Async mode: re-randomize assignments periodically (reference :47-59)."""

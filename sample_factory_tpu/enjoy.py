@@ -37,8 +37,10 @@ def enjoy(cfg, num_episodes: Optional[int] = None, num_envs: int = 16, collect_e
     host-env loop for gymnasium envs."""
     from sample_factory_tpu.utils.utils import configure_jax_platform
 
-    configure_jax_platform(cfg)
+    # config first: the training run's saved --device must win (platform
+    # choice freezes at first backend use)
     cfg = load_from_checkpoint(cfg)
+    configure_jax_platform(cfg)
     eval_deterministic = cfg.eval_deterministic
     max_episodes = num_episodes if num_episodes is not None else min(cfg.max_num_episodes, 100)
 

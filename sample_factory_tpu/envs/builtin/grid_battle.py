@@ -14,12 +14,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sample_factory_tpu.envs.device_env import DeviceEnv
 from sample_factory_tpu.envs.spaces import Box, Discrete, make_dict_spec
 
-# actions: 0..3 move NSEW, 4 shoot, 5 idle
-MOVES = jnp.asarray([[-1, 0], [1, 0], [0, -1], [0, 1], [0, 0], [0, 0]], jnp.int32)
+# actions: 0..3 move NSEW, 4 shoot, 5 idle. Kept as numpy at module level —
+# a module-level jnp array would initialize the JAX backend at import time,
+# before run_rl applies --device.
+MOVES = np.asarray([[-1, 0], [1, 0], [0, -1], [0, 1], [0, 0], [0, 0]], np.int32)
 
 
 class GridBattleEnv(DeviceEnv):
@@ -75,7 +78,7 @@ class GridBattleEnv(DeviceEnv):
         a = action[..., 0].astype(jnp.int32) if action.ndim > 0 else action.astype(jnp.int32)
         k_move, k_spawn = jax.random.split(key)
 
-        agent = jnp.clip(state["agent"] + MOVES[a], 0, self.size - 1)
+        agent = jnp.clip(state["agent"] + jnp.asarray(MOVES)[a], 0, self.size - 1)
 
         # enemies chase: step one cell toward the agent (with a random stall)
         delta = jnp.sign(agent[None, :] - state["enemies"])

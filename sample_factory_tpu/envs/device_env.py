@@ -98,6 +98,33 @@ def _bcast(flag, x):
     return jnp.reshape(flag, (1,) * x.ndim) if x.ndim > 0 else flag
 
 
+def autoreset_step_ma(env: DeviceEnv, key, state, actions, shaping=None):
+    """Multi-agent variant of autoreset_step: obs/reward/terminated/truncated
+    carry a leading agent axis [A, ...]; the env resets when ALL agents are
+    done (the host multi-agent convention, algo/host_sampling.py all_done;
+    reference non_batched_sampling.py finalizes at episode end for all
+    agents). Returns per-agent done/info arrays."""
+    step_key, reset_key = jax.random.split(key)
+    if shaping is not None and env.supports_dynamic_shaping:
+        obs, new_state, reward, terminated, truncated, info = env.step_shaped(step_key, state, actions, shaping)
+    else:
+        obs, new_state, reward, terminated, truncated, info = env.step(step_key, state, actions)
+    done = jnp.logical_or(terminated, truncated)  # [A]
+    done_env = jnp.all(done)
+
+    reset_obs, reset_state = env.reset(reset_key)
+    new_state = jax.tree.map(lambda r, s: jnp.where(_bcast(done_env, s), r, s), reset_state, new_state)
+    obs = {k: jnp.where(_bcast(done_env, v), reset_obs[k], v) for k, v in obs.items()}
+
+    info = dict(info)
+    info["terminated"] = terminated
+    info["truncated"] = truncated
+    info["time_outs"] = jnp.logical_and(truncated, jnp.logical_not(terminated))
+    info.setdefault("active", jnp.ones_like(done))
+    # every agent's episode closes when the env resets
+    return obs, new_state, reward, jnp.broadcast_to(done_env, done.shape), info
+
+
 def vector_reset(env: DeviceEnv, key, num_envs: int):
     keys = jax.random.split(key, num_envs)
     return jax.vmap(env.reset)(keys)
@@ -109,3 +136,14 @@ def vector_step(env: DeviceEnv, key, states, actions, shaping=None):
     # shaping is shared across the env vector (per-policy, not per-env): close
     # over it instead of vmapping it
     return jax.vmap(lambda k, s, a: autoreset_step(env, k, s, a, shaping))(keys, states, actions)
+
+
+def vector_step_ma(env: DeviceEnv, key, states, actions, shaping=None):
+    """Multi-agent vector step. actions [N, A, ...]; shaping, if given, has
+    leaves [N, A] (per-agent coefficients — mixed-policy self-play assigns
+    each agent its own policy's PBT-mutated shaping)."""
+    num_envs = jax.tree.leaves(states)[0].shape[0]
+    keys = jax.random.split(key, num_envs)
+    if shaping is None:
+        return jax.vmap(lambda k, s, a: autoreset_step_ma(env, k, s, a))(keys, states, actions)
+    return jax.vmap(lambda k, s, a, sh: autoreset_step_ma(env, k, s, a, sh))(keys, states, actions, shaping)

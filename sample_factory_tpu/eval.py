@@ -71,8 +71,10 @@ def _eval_host_env(cfg, num_episodes: int, register_fn=None) -> List[Tuple[float
 def do_eval(cfg, register_fn=None) -> int:
     from sample_factory_tpu.utils.utils import configure_jax_platform
 
-    configure_jax_platform(cfg)
+    # config first: the training run's saved --device must win (platform
+    # choice freezes at first backend use)
     cfg = load_from_checkpoint(cfg)
+    configure_jax_platform(cfg)
     num_episodes = int(cfg.sample_env_episodes)
 
     env_info = obtain_env_info(cfg, register_fn=register_fn)

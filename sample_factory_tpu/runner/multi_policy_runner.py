@@ -11,8 +11,13 @@ deterministic mapping), each block sampled and learned by its policy slot.
 PBT exploit/explore happens on the host between iterations by editing rows of
 the stacked state (see pbt/pbt.py).
 
-Current scope: on-device envs, one agent per env (policy mixing within one
-multi-agent env is a non-batched-path feature, planned next round).
+Multi-agent device envs (env.num_agents > 1) train with WITHIN-ENV POLICY
+MIXING (self-play): agents are flattened into policy slots, one shared rollout
+runs a P-way forward + per-slot select (algo/sampling.py
+make_mixed_rollout_fn), and every policy trains on the shared trajectory
+masked to its own slots via the learner's policy_id valids (reference
+non_batched_sampling.py:25-313 per-agent ActorState policies +
+agent_policy_mapping.py:47-59 mixing).
 """
 
 from __future__ import annotations
@@ -72,8 +77,21 @@ class MultiPolicyRunner(Runner):
         self.env = env
         self.env_info = extract_env_info(env, cfg)
 
-        assert cfg.num_envs % self.P == 0, f"num_envs ({cfg.num_envs}) must divide by num_policies ({self.P})"
-        self.envs_per_policy = cfg.num_envs // self.P
+        # multi-agent device envs train with within-env policy mixing: agents
+        # of ONE env are driven by different policies of the population
+        # (self-play; reference agent_policy_mapping.py:47-59 + per-agent
+        # ActorState policies, non_batched_sampling.py:25-313)
+        self.A = self.env_info.num_agents
+        self.mixed = self.A > 1
+
+        if self.mixed:
+            self.num_slots = cfg.num_envs * self.A
+            assert self.num_slots % self.P == 0, (
+                f"num_envs*num_agents ({self.num_slots}) must divide by num_policies ({self.P})"
+            )
+        else:
+            assert cfg.num_envs % self.P == 0, f"num_envs ({cfg.num_envs}) must divide by num_policies ({self.P})"
+            self.envs_per_policy = cfg.num_envs // self.P
 
         self.model = create_actor_critic(cfg, self.env_info.obs_space, self.env_info.action_space)
         tx = make_optimizer(cfg)
@@ -82,9 +100,16 @@ class MultiPolicyRunner(Runner):
         env_keys = jax.random.split(jax.random.fold_in(self.key, 1), self.P)
         model_keys = jax.random.split(jax.random.fold_in(self.key, 2), self.P)
 
-        B = self.envs_per_policy
-        self.sampler_state = jax.vmap(lambda k: init_sampler_state(cfg, env, k, B))(env_keys)
-        example_obs = {k: v[0, :2] for k, v in self.sampler_state.obs.items()}
+        if self.mixed:
+            from sample_factory_tpu.algo.sampling import init_mixed_sampler_state
+
+            self.sampler_state = init_mixed_sampler_state(cfg, env, env_keys[0], cfg.num_envs, self.P)
+            example_obs = {k: v[:2] for k, v in self.sampler_state.obs.items()}
+            B = cfg.num_envs
+        else:
+            B = self.envs_per_policy
+            self.sampler_state = jax.vmap(lambda k: init_sampler_state(cfg, env, k, B))(env_keys)
+            example_obs = {k: v[0, :2] for k, v in self.sampler_state.obs.items()}
         self.train_state = jax.vmap(
             lambda k: init_train_state(cfg, self.env_info, self.model, tx, k, example_obs)
         )(model_keys)
@@ -101,30 +126,58 @@ class MultiPolicyRunner(Runner):
                 self.env_steps = max(self.env_steps, steps_p)
                 self.best_performance_per_policy[p] = best_p
 
-        rollout_fn = make_rollout_fn(cfg, env, self.env_info, self.model)
         train_fn = make_train_fn(cfg, self.env_info, self.model, tx, 0)
+        pids = jnp.arange(self.P, dtype=jnp.int32)
 
-        def one_policy_iteration(ts, ss, key, pid):
-            ss, traj, ep_stats = rollout_fn(ts.params, ts.obs_rms, ss, ts.train_step, pid)
-            ts, stats = train_fn(ts, traj, key, pid)
-            return ts, ss, stats, ep_stats
+        if self.mixed:
+            from sample_factory_tpu.algo.agent_policy_mapping import AgentPolicyMapping
+            from sample_factory_tpu.algo.sampling import make_mixed_rollout_fn
 
-        self._train_iteration = jax.jit(jax.vmap(one_policy_iteration), donate_argnums=(0, 1))
-        self._policy_ids = jnp.arange(self.P, dtype=jnp.int32)
+            mapping = AgentPolicyMapping(cfg, self.env_info)
+            slot_policies = mapping.initial_slot_policies(self.num_slots)
+            self._policy_ids = jnp.asarray(slot_policies, jnp.int32)  # per-slot assignment
+            mixed_rollout = make_mixed_rollout_fn(cfg, env, self.env_info, self.model, self.P)
+
+            def mixed_iteration(ts, ss, keys, slot_pol):
+                # ONE shared rollout with per-slot policy selection, then every
+                # policy trains on the shared trajectory masked to its own
+                # slots (valids: policy_id match — the same mechanism that
+                # handles invalid/inactive data, algo/learning.py)
+                ss, traj, ep_stats = mixed_rollout(ts.params, ts.obs_rms, ss, slot_pol, ts.train_step)
+                ts, stats = jax.vmap(lambda t, k, pid: train_fn(t, traj, k, pid))(ts, keys, pids)
+                return ts, ss, stats, ep_stats
+
+            self._train_iteration = jax.jit(mixed_iteration, donate_argnums=(0, 1))
+        else:
+            rollout_fn = make_rollout_fn(cfg, env, self.env_info, self.model)
+
+            def one_policy_iteration(ts, ss, key, pid):
+                ss, traj, ep_stats = rollout_fn(ts.params, ts.obs_rms, ss, ts.train_step, pid)
+                ts, stats = train_fn(ts, traj, key, pid)
+                return ts, ss, stats, ep_stats
+
+            self._train_iteration = jax.jit(jax.vmap(one_policy_iteration), donate_argnums=(0, 1))
+            self._policy_ids = pids
 
         if cfg.with_pbt:
             self.pbt = PopulationBasedTraining(
                 cfg, self.P, default_reward_shaping=self.env_info.reward_shaping_scheme
             )
-        log.info(
-            "MultiPolicyRunner: %d policies x %d envs, PBT=%s", self.P, B, bool(cfg.with_pbt)
-        )
+        if self.mixed:
+            log.info(
+                "MultiPolicyRunner: %d policies MIXED over %d envs x %d agents (self-play), PBT=%s",
+                self.P, cfg.num_envs, self.A, bool(cfg.with_pbt),
+            )
+        else:
+            log.info(
+                "MultiPolicyRunner: %d policies x %d envs, PBT=%s", self.P, B, bool(cfg.with_pbt)
+            )
 
     def run(self) -> int:
         cfg = self.cfg
         self._start_time = time.time()
         self._last_report = self._last_checkpoint = self._last_best_check = self._last_milestone = self._start_time
-        transitions_per_iter = cfg.num_envs * cfg.rollout
+        transitions_per_iter = cfg.num_envs * self.env_info.num_agents * cfg.rollout
         frameskip = cfg.env_frameskip if cfg.summaries_use_frameskip else 1
 
         log.info("Starting population training for %d env steps", cfg.train_for_env_steps)

@@ -20,10 +20,12 @@ def make_rl_runner(cfg, register_fn=None):
     AlgoObservers / episodic-stats handlers before training starts (the
     reference exposes the same seam as train.py make_runner, used by
     sf_examples/dmlab/train_dmlab.py:79-95)."""
-    configure_jax_platform(cfg)
     if cfg.restart_behavior == "resume" and os.path.isfile(cfg_file(cfg)):
         cfg = maybe_load_from_checkpoint(cfg)
-    elif cfg.restart_behavior == "restart" and os.path.isfile(cfg_file(cfg)):
+    # platform selection AFTER resume-merge: a restored --device must win over
+    # the environment default (resume-merge itself never touches jax)
+    configure_jax_platform(cfg)
+    if cfg.restart_behavior == "restart" and os.path.isfile(cfg_file(cfg)):
         raise RuntimeError(
             f"Experiment {cfg.experiment} already exists and --restart_behavior=restart; "
             "use resume or overwrite"
@@ -42,7 +44,10 @@ def make_rl_runner(cfg, register_fn=None):
         cfg.num_envs = cfg.num_workers * cfg.num_envs_per_worker * env_info.num_agents
     verify_cfg(cfg)
     if env_info.is_device_env:
-        if cfg.num_policies > 1:
+        if cfg.num_policies > 1 or env_info.num_agents > 1:
+            # multi-agent device envs always go through the population runner:
+            # its mixed-mode sampler handles agent slots + per-slot policies
+            # (P=1 = single-policy self-play)
             from sample_factory_tpu.runner.multi_policy_runner import MultiPolicyRunner
 
             runner = MultiPolicyRunner(cfg)
