@@ -157,6 +157,9 @@ class EnvSlotStepper:
         self.env_info = env_info
         self.slabs = slabs
         self.w = worker_idx
+        # multihost: every process must sample DIFFERENT episodes (model seeds
+        # stay identical across hosts — only env seeding decorrelates)
+        self.seed = (cfg.seed or 0) + getattr(cfg, "env_seed_offset", 0)
         self.K = cfg.worker_num_splits
         self.A = env_info.num_agents
         self.E = cfg.num_envs_per_worker // self.K  # envs per split
@@ -225,15 +228,15 @@ class EnvSlotStepper:
         if self.batched:
             self.slabs.arrays["active"][self.w] = True
             for s in range(self.K):
-                obs, _ = self.envs[s][0].reset(seed=self.cfg.seed + self.w * 10007 + s * 101)
+                obs, _ = self.envs[s][0].reset(seed=self.seed + self.w * 10007 + s * 101)
                 self._write_obs_batch(s, obs)
             return
         self.slabs.arrays["active"][self.w] = True
-        rng = np.random.default_rng(self.cfg.seed + self.w)
+        rng = np.random.default_rng(self.seed + self.w)
         total_envs = self.K * self.E
         for s in range(self.K):
             for e in range(self.E):
-                seed = self.cfg.seed + self.w * 10007 + s * 101 + e
+                seed = self.seed + self.w * 10007 + s * 101 + e
                 if self.multiagent:
                     obs_list, _ = self.envs[s][e].reset(seed=seed)
                     for a in range(self.A):

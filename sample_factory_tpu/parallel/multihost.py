@@ -98,6 +98,52 @@ def broadcast_objectives(objectives: list) -> list:
     return [None if np.isnan(v) else float(v) for v in arr]
 
 
+def globalize_host_trajectory(traj: Any, mesh) -> Any:
+    """Per-process host-sampled trajectories ([T(+1), N_local, ...]) -> ONE
+    global batch sharded over the 'data' mesh axis (env axis = axis 1), so a
+    single SPMD train step consumes every host's local experience and
+    gradients all-reduce automatically (SURVEY §7 stage 6: per-host samplers
+    feeding one global-mesh learner). No-op on single-host runs."""
+    if not is_multihost():
+        return traj
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    def spec(x):
+        return P(None, "data", *([None] * (x.ndim - 2)))
+
+    return jax.tree.map(
+        lambda x: multihost_utils.host_local_array_to_global_array(np.asarray(x), mesh, spec(x)), traj
+    )
+
+
+def globalize_replicated(tree: Any, mesh) -> Any:
+    """Replicate a (host-identical) pytree onto the global mesh so it can be
+    an input of a global SPMD program. No-op on single-host runs."""
+    if not is_multihost():
+        return tree
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    return jax.tree.map(
+        lambda x: multihost_utils.host_local_array_to_global_array(np.asarray(x), mesh, P()), tree
+    )
+
+
+def localize_replicated(tree: Any, mesh) -> Any:
+    """Global replicated arrays -> process-local arrays (for host-driven
+    per-process computations like sampler inference on local envs). No-op on
+    single-host runs."""
+    if not is_multihost():
+        return tree
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    return jax.tree.map(
+        lambda x: multihost_utils.global_array_to_host_local_array(x, mesh, P()), tree
+    )
+
+
 def sync_barrier(name: str = "barrier") -> None:
     if not is_multihost():
         return

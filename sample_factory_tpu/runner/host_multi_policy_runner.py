@@ -51,6 +51,22 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
         self.writers = [SummaryWriter(cfg, p) for p in range(self.P)]
         self.writer = self.writers[0]
 
+        # multihost: per-process sampler shards + one global SPMD population
+        # train step (same design as HostEnvRunner)
+        from sample_factory_tpu.parallel.multihost import is_multihost
+
+        self._mh = is_multihost()
+        self.mesh = None
+        if self._mh:
+            from sample_factory_tpu.parallel.mesh import make_mesh
+
+            cfg.env_seed_offset = jax.process_index() * 1000003
+            self.mesh = make_mesh(cfg)
+            log.info(
+                "Multihost self-play pipeline: process %d/%d, global mesh %s",
+                jax.process_index(), jax.process_count(), dict(self.mesh.shape),
+            )
+
         self.env_info = obtain_env_info(cfg, register_fn=self.register_fn)
         assert not self.env_info.is_device_env
 
@@ -83,6 +99,14 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
                 self.env_steps = max(self.env_steps, steps_p)
                 self.best_performance_per_policy[p] = best_p
 
+        if self._mh:
+            from sample_factory_tpu.parallel.multihost import globalize_replicated, localize_replicated
+
+            self._localize = lambda t: localize_replicated(t, self.mesh)
+            self.train_state = globalize_replicated(self.train_state, self.mesh)
+        else:
+            self._localize = lambda t: t
+
         train_fn = make_train_fn(cfg, self.env_info, self.model, tx, 0)
 
         def train_all_policies(stacked_ts, traj, keys, pids):
@@ -113,7 +137,7 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
         cfg = self.cfg
         self._start_time = time.time()
         self._last_report = self._last_checkpoint = self._last_best_check = self._last_milestone = self._start_time
-        transitions_per_iter = self.sampler.num_envs * cfg.rollout
+        transitions_per_iter = self.sampler.num_envs * cfg.rollout * jax.process_count()
         frameskip = cfg.env_frameskip if cfg.summaries_use_frameskip else 1
 
         log.info("Starting multi-policy self-play for %d env steps", cfg.train_for_env_steps)
@@ -121,16 +145,26 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
         # async snapshot: collect with the freshest already-materialized params
         # so the rollout never blocks on the in-flight population train step
         # (same fix as HostEnvRunner; policy lag is stamped via versions)
-        behavior = (self.train_state.params, self.train_state.obs_rms, self.train_state.train_step)
+        behavior = (
+            self._localize(self.train_state.params),
+            self._localize(self.train_state.obs_rms),
+            self.train_state.train_step,
+        )
         try:
             while not self._should_end_training():
                 self.key, k_collect, k_train = jax.random.split(self.key, 3)
+                if self._mh:
+                    # train keys stay identical across hosts (one SPMD step);
+                    # only collection decorrelates
+                    k_collect = jax.random.fold_in(k_collect, jax.process_index())
 
                 if cfg.async_rl:
                     b_params, b_obs_rms, b_version = behavior
                 else:
                     b_params, b_obs_rms, b_version = (
-                        self.train_state.params, self.train_state.obs_rms, self.train_state.train_step
+                        self._localize(self.train_state.params),
+                        self._localize(self.train_state.obs_rms),
+                        self.train_state.train_step,
                     )
                 versions = np.asarray(jax.device_get(b_version), np.int32)
                 traj, ep_stats = self.sampler.collect_rollout(
@@ -140,10 +174,22 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
                     versions,
                     slot_policies=self.slot_policies,
                 )
+                if self._mh:
+                    from sample_factory_tpu.parallel.multihost import (
+                        aggregate_episode_sums,
+                        globalize_host_trajectory,
+                    )
+
+                    traj = globalize_host_trajectory(traj, self.mesh)
+                    ep_stats = aggregate_episode_sums(ep_stats)
 
                 keys = jax.random.split(k_train, self.P)
                 if cfg.async_rl:
-                    behavior = (self.train_state.params, self.train_state.obs_rms, self.train_state.train_step)
+                    behavior = (
+                        self._localize(self.train_state.params),
+                        self._localize(self.train_state.obs_rms),
+                        self.train_state.train_step,
+                    )
                 ts, stats = self._train_all(self.train_state, traj, keys, self._policy_ids)
                 self.train_state = ts
 

@@ -26,6 +26,13 @@ from sample_factory_tpu.algo.learning import init_train_state, make_train_fn
 from sample_factory_tpu.algo.optimizers import make_optimizer
 from sample_factory_tpu.envs.env_info import obtain_env_info
 from sample_factory_tpu.models.actor_critic import create_actor_critic
+from sample_factory_tpu.parallel.multihost import (
+    aggregate_episode_sums,
+    globalize_host_trajectory,
+    globalize_replicated,
+    is_multihost,
+    localize_replicated,
+)
 from sample_factory_tpu.runner.checkpoint import load_checkpoint
 from sample_factory_tpu.runner.runner import Runner
 from sample_factory_tpu.runner.stats import SummaryWriter
@@ -81,6 +88,22 @@ class HostEnvRunner(Runner):
 
         init_wandb(cfg)
 
+        # multihost (SURVEY §7 stage 6): every process runs its own local
+        # sampler shard; local trajectories join ONE global-mesh batch for a
+        # single SPMD train step (see run()). Env seeding decorrelates per
+        # host; model seeds stay identical so params init the same everywhere.
+        self._mh = is_multihost()
+        self.mesh = None
+        if self._mh:
+            from sample_factory_tpu.parallel.mesh import make_mesh
+
+            cfg.env_seed_offset = jax.process_index() * 1000003
+            self.mesh = make_mesh(cfg)
+            log.info(
+                "Multihost host-env pipeline: process %d/%d, global mesh %s",
+                jax.process_index(), jax.process_count(), dict(self.mesh.shape),
+            )
+
         self.env_info = obtain_env_info(cfg, register_fn=self.register_fn)
         assert not self.env_info.is_device_env
 
@@ -99,11 +122,13 @@ class HostEnvRunner(Runner):
         restored = load_checkpoint(cfg, self.policy_id, train_state)
         if restored is not None:
             train_state, self.env_steps, self.best_performance = restored
-        self.train_state = train_state
+        # inference (sampler) always runs on process-LOCAL params; training on
+        # the global mesh (globalize is a no-op single-host)
         self.behavior_params = train_state.params
         self.behavior_obs_rms = train_state.obs_rms
         self._behavior_version_host = int(jax.device_get(train_state.train_step))
         self._version_host = self._behavior_version_host
+        self.train_state = globalize_replicated(train_state, self.mesh) if self._mh else train_state
 
         train_fn = make_train_fn(cfg, self.env_info, self.model, tx, self.policy_id)
         self._train_jit = jax.jit(train_fn)
@@ -135,11 +160,17 @@ class HostEnvRunner(Runner):
             cfg.async_rl,
         )
 
+    def _local(self, tree):
+        """Global replicated arrays -> process-local (sampler inference)."""
+        return localize_replicated(tree, self.mesh) if self._mh else tree
+
     def run(self) -> int:
         cfg = self.cfg
         self._start_time = time.time()
         self._last_report = self._last_checkpoint = self._last_best_check = self._last_milestone = self._start_time
-        transitions_per_iter = self.sampler.num_envs * cfg.rollout
+        # env_steps count GLOBAL experience: all processes' samplers feed the
+        # one SPMD train step
+        transitions_per_iter = self.sampler.num_envs * cfg.rollout * jax.process_count()
         frameskip = cfg.env_frameskip if cfg.summaries_use_frameskip else 1
 
         log.info("Starting training for %d env steps (current: %d)", cfg.train_for_env_steps, self.env_steps)
@@ -149,6 +180,10 @@ class HostEnvRunner(Runner):
         try:
             while not self._should_end_training():
                 self.key, k_collect, k_train = jax.random.split(self.key, 3)
+                # k_train must stay IDENTICAL across hosts (input to the one
+                # SPMD train program); only the collection key decorrelates
+                if self._mh:
+                    k_collect = jax.random.fold_in(k_collect, jax.process_index())
                 if cfg.async_rl:
                     # behavior snapshot: the freshest params that are already
                     # materialized — the rollout never blocks on an in-flight
@@ -157,7 +192,8 @@ class HostEnvRunner(Runner):
                     behavior_params, behavior_obs_rms = self.behavior_params, self.behavior_obs_rms
                     behavior_version = self._behavior_version_host
                 else:
-                    behavior_params, behavior_obs_rms = self.train_state.params, self.train_state.obs_rms
+                    behavior_params = self._local(self.train_state.params)
+                    behavior_obs_rms = self._local(self.train_state.obs_rms)
                     behavior_version = int(jax.device_get(self.train_state.train_step))
 
                 idle_fn = self._pacer if (use_quanta and pending) else None
@@ -166,6 +202,12 @@ class HostEnvRunner(Runner):
                         behavior_params, behavior_obs_rms, k_collect, behavior_version, self.policy_id,
                         idle_fn=idle_fn,
                     )
+                if self._mh:
+                    # local shard -> one global batch sharded over 'data';
+                    # host-local episode sums -> global sums (lockstep call)
+                    with self.timing.add_time("globalize"):
+                        traj = globalize_host_trajectory(traj, self.mesh)
+                        ep_stats = aggregate_episode_sums(ep_stats)
 
                 stats = None
                 if use_quanta:
@@ -175,8 +217,8 @@ class HostEnvRunner(Runner):
                     # next rollout's behavior: the params the train step we are
                     # about to enqueue will consume — produced by the previous
                     # train step, whose quanta already ran during this rollout
-                    self.behavior_params = self.train_state.params
-                    self.behavior_obs_rms = self.train_state.obs_rms
+                    self.behavior_params = self._local(self.train_state.params)
+                    self.behavior_obs_rms = self._local(self.train_state.obs_rms)
                     self._behavior_version_host = self._version_host
                     with self.timing.add_time("train_dispatch"):
                         self._quantizer.enqueue(self.train_state, traj, k_train)
@@ -189,8 +231,8 @@ class HostEnvRunner(Runner):
                     if cfg.async_rl:
                         # fused fallback (shuffle_minibatches): snapshot = the
                         # params this train step consumed (already materialized)
-                        self.behavior_params = self.train_state.params
-                        self.behavior_obs_rms = self.train_state.obs_rms
+                        self.behavior_params = self._local(self.train_state.params)
+                        self.behavior_obs_rms = self._local(self.train_state.obs_rms)
                         self._behavior_version_host = int(jax.device_get(self.train_state.train_step))
                     self.train_state = ts
 

@@ -73,9 +73,12 @@ class EpisodeStats:
 class SummaryWriter:
     def __init__(self, cfg, policy_id: int = 0):
         self.cfg = cfg
-        # stats fed to writers are host-aggregated (multihost.aggregate_episode_sums),
-        # so on multihost runs only host 0 writes — summary dirs live on a
-        # shared filesystem and N identical writers would clobber each other
+        # stats fed to writers are already GLOBAL on every host — device-env
+        # runners get cross-host episode sums out of the SPMD program itself,
+        # host-env runners all-reduce them (multihost.aggregate_episode_sums
+        # in HostEnvRunner/HostMultiPolicyRunner.run) — so on multihost runs
+        # only host 0 writes: summary dirs live on a shared filesystem and N
+        # identical writers would clobber each other
         from sample_factory_tpu.parallel.multihost import is_primary_host
 
         self._noop = not is_primary_host()
