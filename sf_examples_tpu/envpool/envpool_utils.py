@@ -29,26 +29,48 @@ def envpool_available() -> bool:
 
 class EnvPoolBatchedEnv:
     """Adapter presenting the batched host vector-env contract over an
-    envpool gymnasium-API pool (auto-reset; arrays in, arrays out)."""
+    envpool gymnasium-API pool (auto-reset; arrays in, arrays out).
+
+    transpose_hwc: envpool image pools return CHW (torch layout); the TPU
+    encoders are channel-last, so image observations are transposed to HWC
+    at the adapter boundary (uint8, negligible host cost)."""
 
     is_batched_vector_env = True
     gymnasium_api = True
 
-    def __init__(self, task_id: str, num_envs: int, seed: int = 0, **kwargs):
+    def __init__(self, task_id: str, num_envs: int, seed: int = 0, transpose_hwc: bool = False, **kwargs):
         import envpool
 
         self.pool = envpool.make(task_id, env_type="gymnasium", num_envs=num_envs, seed=seed, **kwargs)
         self.num_envs = int(num_envs)
         self.observation_space = self.pool.observation_space  # per-env space
         self.action_space = self.pool.action_space
+        self._transpose = False
+        if transpose_hwc and len(getattr(self.observation_space, "shape", ())) == 3:
+            import gymnasium as gym
+
+            c, h, w = self.observation_space.shape
+            self._transpose = True
+            lo = self.observation_space.low
+            hi = self.observation_space.high
+            lo = float(lo.min()) if hasattr(lo, "min") else float(lo)
+            hi = float(hi.max()) if hasattr(hi, "max") else float(hi)
+            self.observation_space = gym.spaces.Box(
+                lo, hi, (h, w, c), dtype=self.observation_space.dtype
+            )
+
+    def _maybe_hwc(self, obs):
+        if self._transpose:
+            return np.transpose(obs, (0, 2, 3, 1))
+        return obs
 
     def reset(self, seed: Optional[int] = None):
         # envpool pools are seeded at construction; the gymnasium API returns
         # (obs[N, ...], info)
         out = self.pool.reset()
         if isinstance(out, tuple) and len(out) == 2:
-            return out
-        return out, {}
+            return self._maybe_hwc(out[0]), out[1]
+        return self._maybe_hwc(out), {}
 
     def step(self, actions):
         obs, rewards, terminated, truncated, info = self.pool.step(np.asarray(actions))
@@ -66,7 +88,7 @@ class EnvPoolBatchedEnv:
                     obs[k][needs_reset] = reset_obs[k]
             else:
                 obs[needs_reset] = reset_obs
-        return obs, rewards, terminated, truncated, info
+        return self._maybe_hwc(obs), rewards, terminated, truncated, info
 
     def close(self) -> None:
         try:
