@@ -10,12 +10,16 @@ the full suite under "suite".
 Scenarios (each vs its matching reference row, BASELINE.md):
   1. mlp_synthetic   — physics-free env of IsaacGym-Ant obs/action widths:
                        the framework+NN ceiling (sampler+learner overhead only;
-                       labeled as such — the physics-bearing comparison is #3)
-  2. grid_battle     — 24x24x3 pixel env, IMPALA conv + GRU-256, bf16 compute:
+                       labeled as such — the physics-bearing comparison is #4)
+  2. host_pixel      — 42x42x4 uint8 batched HOST env through the full worker
+                       pipeline (shm slabs, uint8 upload, quantized async
+                       learner) on the CPU backend: the envpool/ViZDoom
+                       feeding-machinery proxy (reference: 50K FPS, 10-core i9)
+  3. grid_battle     — 24x24x3 pixel env, IMPALA conv + GRU-256, bf16 compute:
                        the ViZDoom-battle regime (pixels + recurrent PPO;
                        reference: 137,131 FPS on a 36-core Xeon + GPUs,
                        `benchmarking_xeon_36core.txt:31-45`)
-  3. ant_physics     — AntEnv: real rigid-body quadruped dynamics
+  4. ant_physics     — AntEnv: real rigid-body quadruped dynamics
                        (envs/builtin/ant.py), 4096 envs, same widths as #1
 """
 
@@ -179,7 +183,142 @@ def bench_grid_battle():
     return _run_scenario(cfg, GridBattleEnv(), num_envs), num_envs
 
 
+class _BenchPixelBatchedEnv:
+    """Synthetic batched uint8 pixel env (the envpool/ViZDoom feeding proxy):
+    one array call per split, near-zero env cost, so the metric isolates the
+    host feeding machinery — worker processes, SharedMemory slabs, uint8
+    host->device upload, jitted inference, quantized async training."""
+
+    is_batched_vector_env = True
+    gymnasium_api = True
+
+    def __init__(self, num_envs: int, res: int = 42, stack: int = 4):
+        import gymnasium as gym
+        import numpy as np
+
+        self.num_envs = num_envs
+        self.observation_space = gym.spaces.Box(0, 255, (res, res, stack), dtype=np.uint8)
+        self.action_space = gym.spaces.Discrete(6)
+        self._np = np
+        self._obs = np.random.default_rng(0).integers(0, 255, (num_envs, res, res, stack), dtype=np.uint8)
+        self.t = np.zeros(num_envs, np.int64)
+
+    def reset(self, seed=None):
+        self.t[:] = 0
+        return self._obs, {}
+
+    def step(self, actions):
+        np = self._np
+        self.t += 1
+        # cheap content mutation so transfers can't be deduplicated
+        self._obs[:, 0, 0, 0] = (self.t % 251).astype(np.uint8)
+        done = self.t >= 512
+        self.t[done] = 0
+        return (
+            self._obs,
+            np.ones(self.num_envs, np.float32),
+            done,
+            np.zeros(self.num_envs, bool),
+            {},
+        )
+
+    def close(self):
+        pass
+
+
+def _make_bench_pixel_env(env_name, cfg=None, env_config=None, render_mode=None):
+    n = int(env_config.num_envs) if env_config is not None and getattr(env_config, "num_envs", None) else 1
+    return _BenchPixelBatchedEnv(n)
+
+
+def _register_bench_pixel():
+    from sample_factory_tpu.envs.env_utils import register_env
+
+    register_env("bench_host_pixel", _make_bench_pixel_env)
+
+
+def _host_pixel_child() -> int:
+    """Runs in a JAX_PLATFORMS=cpu subprocess: full host pipeline (worker
+    processes + shm slabs + uint8 upload + quantized async learner)."""
+    import numpy as np
+
+    from sample_factory_tpu.cfg.arguments import parse_full_cfg, parse_sf_args
+    from sample_factory_tpu.runner.host_runner import HostEnvRunner
+    from sample_factory_tpu.runner.runner import AlgoObserver
+
+    argv = [
+        "--env=bench_host_pixel",
+        "--experiment=bench_host_pixel",
+        "--train_dir=/tmp/sf_tpu_bench",
+        "--restart_behavior=overwrite",
+        "--device=cpu",
+        "--num_workers=2",
+        "--num_envs_per_worker=32",
+        "--worker_num_splits=2",
+        "--rollout=32",
+        "--batch_size=1024",
+        "--num_epochs=1",
+        "--async_rl=True",
+        "--use_rnn=False",
+        "--encoder_conv_architecture=convnet_simple",
+        "--encoder_conv_mlp_layers", "128",
+        "--normalize_input=True",
+        "--train_for_env_steps=999999999",
+        "--seed=0",
+        "--experiment_summaries_interval=10000",
+        "--save_every_sec=10000",
+        "--decorrelate_envs_on_one_worker=False",
+    ]
+    parser, _ = parse_sf_args(argv=argv)
+    cfg = parse_full_cfg(parser, argv=argv)
+    _register_bench_pixel()
+
+    marks = []
+
+    class Timer(AlgoObserver):
+        def on_training_iteration(self, runner, stats) -> None:
+            marks.append((time.perf_counter(), runner.env_steps))
+            if len(marks) >= 40:
+                runner.stop()
+
+    runner = HostEnvRunner(cfg, register_fn=_register_bench_pixel)
+    runner.init()
+    runner.register_observer(Timer())
+    runner.run()
+    warm = marks[8:]  # skip compile/warmup iterations
+    fps = (warm[-1][1] - warm[0][1]) / (warm[-1][0] - warm[0][0])
+    print(json.dumps({"host_pixel_fps": round(fps, 1)}), flush=True)
+    return 0
+
+
+def bench_host_pixel() -> float:
+    """Spawn the host-pixel scenario on the CPU backend (the tunneled-TPU
+    device RTT would swamp the feeding pipeline this metric measures)."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=1").strip()
+    out = subprocess.run(
+        [sys.executable, __file__, "--host-pixel-child"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=900,
+    )
+    for line in reversed(out.stdout.splitlines()):
+        try:
+            return float(json.loads(line)["host_pixel_fps"])
+        except Exception:  # noqa: BLE001
+            continue
+    raise RuntimeError(f"host pixel bench child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
 def main() -> int:
+    if "--host-pixel-child" in sys.argv:
+        return _host_pixel_child()
+
     suite = []
 
     fps, n = bench_mlp_synthetic()
@@ -191,6 +330,21 @@ def main() -> int:
             "vs_baseline": round(fps / ISAAC_ANT_FPS, 3),
             "note": f"{n} physics-FREE envs, IsaacGym-Ant widths; framework+NN overhead ceiling, "
             "not a physics comparison (that is ant_physics_sync_ppo)",
+        }
+    )
+    print(json.dumps(suite[-1]), flush=True)
+
+    fps = bench_host_pixel()
+    suite.append(
+        {
+            "metric": "host_pixel_pipeline_appo",
+            "value": round(fps, 1),
+            "unit": "env_steps/s",
+            "vs_baseline": round(fps / 50000.0, 3),
+            "note": "42x42x4 uint8 synthetic batched host env (envpool-style, zero env cost), "
+            "2 worker procs on a 2-CPU box, quantized async learner on the CPU backend; "
+            "vs ViZDoom battle 50K FPS on a 10-core i9 (feeding-machinery proxy — this "
+            "box has 5x fewer cores, no accelerator for inference, and no real game engine)",
         }
     )
     print(json.dumps(suite[-1]), flush=True)

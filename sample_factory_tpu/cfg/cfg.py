@@ -327,6 +327,15 @@ def add_tpu_args(p: ArgumentParser) -> None:
         help="Force on-device (jittable) or host env path; None = auto-detect from the registered env",
     )
     p.add_argument("--host_pipeline_depth", default=2, type=int, help="Host->device staging buffers for CPU envs")
+    p.add_argument(
+        "--fused_iterations",
+        default=1,
+        type=int,
+        help="On-device sync training: run K rollout+train iterations inside ONE XLA program "
+        "(lax.scan) with episodic stats accumulated on device. Removes per-iteration host "
+        "dispatch overhead for very fast envs; summaries/observers fire once per fused block. "
+        "Sync single-policy runner only (async policy-lag semantics assume K=1)",
+    )
     p.add_argument("--jax_distributed", default=False, type=str2bool, help="Initialize jax.distributed for multi-host runs")
     p.add_argument("--profiler_dir", default=None, type=str, help="If set, capture jax.profiler traces into this dir")
 

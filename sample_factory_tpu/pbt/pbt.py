@@ -185,6 +185,18 @@ class PopulationBasedTraining:
 
     # ----------------------------------------------------------------- driver
 
+    def due(self, env_steps_per_policy: List[int]) -> bool:
+        """True when at least one policy is eligible for a PBT update — lets
+        runners skip computing objectives (which may force a device sync) on
+        the vast majority of iterations."""
+        if not self.cfg.with_pbt or self.P <= 1:
+            return False
+        return any(
+            steps >= self.cfg.pbt_start_mutation
+            and steps - self.last_update[p] >= self.cfg.pbt_period_env_steps
+            for p, steps in enumerate(env_steps_per_policy)
+        )
+
     def on_training_step(self, stacked_ts, env_steps_per_policy: List[int], objectives: List[Optional[float]]):
         """objectives: windowed per-policy target metric (true_objective or
         episode reward). Returns the (possibly updated) stacked train state."""

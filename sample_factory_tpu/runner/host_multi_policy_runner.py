@@ -200,7 +200,7 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
                 new_map = self.mapping.maybe_resample(self.slot_policies.reshape(-1), int(ep_stats["count"]))
                 self.slot_policies = new_map.reshape(self.sampler.K, self.sampler.split_size)
 
-                if self.pbt is not None:
+                if self.pbt is not None and self.pbt.due([self.env_steps // self.P] * self.P):
                     per_policy_steps = [self.env_steps // self.P] * self.P
                     objectives = self._pbt_objectives()
                     self.train_state = self.pbt.on_training_step(self.train_state, per_policy_steps, objectives)

@@ -195,9 +195,10 @@ class MultiPolicyRunner(Runner):
 
                 if self.pbt is not None:
                     per_policy_steps = [self.env_steps // self.P] * self.P
-                    objectives = self._pbt_objectives()
-                    self.train_state = self.pbt.on_training_step(self.train_state, per_policy_steps, objectives)
-                    self._apply_shaping_updates()
+                    if self.pbt.due(per_policy_steps):
+                        objectives = self._pbt_objectives()
+                        self.train_state = self.pbt.on_training_step(self.train_state, per_policy_steps, objectives)
+                        self._apply_shaping_updates()
 
                 self._periodic_tasks(stats)
                 self._notify_observers(stats)
@@ -205,6 +206,7 @@ class MultiPolicyRunner(Runner):
             log.info("Interrupted, saving...")
             status = 1
         finally:
+            self._drain_ep_stats()
             self._save(is_final=True)
             for w in self.writers:
                 if w is not None:
@@ -246,6 +248,7 @@ class MultiPolicyRunner(Runner):
 
         from sample_factory_tpu.parallel.multihost import broadcast_objectives
 
+        self._drain_ep_stats()
         custom = self.policy_avg_stats.get(self.cfg.pbt_target_objective)
         if custom is not None:
             objectives = [float(np.mean(custom[p])) if len(custom[p]) else None for p in range(self.P)]
@@ -257,15 +260,26 @@ class MultiPolicyRunner(Runner):
         now = time.time()
         self.fps_tracker.add(now, self.env_steps)
         # per-policy ep sums come out of the global SPMD program — already
-        # cross-host totals on every host (see Runner._process_stats)
-        ep = jax.device_get(ep_stats)
-        for p in range(self.P):
-            self.episode_stats_per_policy[p].add_rollout_stats(
-                float(ep["count"][p]), float(ep["return_sum"][p]), float(ep["len_sum"][p])
-            )
+        # cross-host totals on every host (see Runner._process_stats). Kept as
+        # device futures; drained at report/PBT time (per-iteration
+        # device_get would serialize host and device)
+        self._pending_ep.append(ep_stats)
+        if len(self._pending_ep) >= self._max_pending_ep:
+            self._drain_ep_stats()
         self._last_stats = stats
 
+    def _drain_ep_stats(self) -> None:
+        if not self._pending_ep:
+            return
+        pending, self._pending_ep = self._pending_ep, []
+        for ep in jax.device_get(pending):
+            for p in range(self.P):
+                self.episode_stats_per_policy[p].add_rollout_stats(
+                    float(ep["count"][p]), float(ep["return_sum"][p]), float(ep["len_sum"][p])
+                )
+
     def _report(self, stats) -> None:
+        self._drain_ep_stats()
         host_stats = jax.device_get(stats)
         fps10 = self.fps_tracker.fps(10)
         rewards = [es.avg_reward for es in self.episode_stats_per_policy]
@@ -307,6 +321,7 @@ class MultiPolicyRunner(Runner):
                 f.write(str(self.env_steps))
 
     def _maybe_save_best(self) -> None:
+        self._drain_ep_stats()
         if self.env_steps < self.cfg.save_best_after:
             return
         for p in range(self.P):

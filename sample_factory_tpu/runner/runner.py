@@ -105,6 +105,13 @@ class Runner:
 
         self._train_iteration = None
         self._last_stats = None
+        # episodic stats stay device-side futures until a report needs them:
+        # a per-iteration device_get would serialize host and device (and on
+        # a tunneled TPU pay a network RTT per iteration — measured 60x FPS
+        # loss on fast pixel envs). Bounded so the dispatch queue can't run
+        # away from the device.
+        self._pending_ep: list = []
+        self._max_pending_ep = 32
         self._last_report = 0.0
         self._last_checkpoint = 0.0
         self._last_best_check = 0.0
@@ -178,10 +185,31 @@ class Runner:
         train_fn = make_train_fn(cfg, self.env_info, self.model, tx, self.policy_id)
         policy_id = self.policy_id
 
+        fused = max(1, int(getattr(cfg, "fused_iterations", 1)))
+        if fused > 1 and cfg.async_rl:
+            log.warning("--fused_iterations>1 requires sync mode (async policy lag assumes K=1); using 1")
+            fused = 1
+        self._fused_iterations = fused
+
         def train_iteration_sync(ts, ss, key):
-            """On-policy: rollout with the live params."""
-            ss, traj, ep_stats = rollout_fn(ts.params, ts.obs_rms, ss, ts.train_step, policy_id)
-            ts, stats = train_fn(ts, traj, key)
+            """On-policy: rollout with the live params. With
+            --fused_iterations=K, K rollout+train cycles run inside this one
+            XLA program (lax.scan) and episodic sums accumulate on device —
+            zero host dispatch between them."""
+            if fused == 1:
+                ss, traj, ep_stats = rollout_fn(ts.params, ts.obs_rms, ss, ts.train_step, policy_id)
+                ts, stats = train_fn(ts, traj, key)
+                return ts, ss, stats, ep_stats
+
+            def body(carry, k):
+                ts, ss = carry
+                ss, traj, ep_stats = rollout_fn(ts.params, ts.obs_rms, ss, ts.train_step, policy_id)
+                ts, stats = train_fn(ts, traj, k)
+                return (ts, ss), (stats, ep_stats)
+
+            (ts, ss), (stats_seq, ep_seq) = jax.lax.scan(body, (ts, ss), jax.random.split(key, fused))
+            stats = jax.tree.map(lambda x: x[-1], stats_seq)
+            ep_stats = jax.tree.map(lambda x: jnp.sum(x, axis=0), ep_seq)
             return ts, ss, stats, ep_stats
 
         def train_iteration_async(ts, ss, behavior_params, behavior_version, key):
@@ -203,7 +231,7 @@ class Runner:
         cfg = self.cfg
         self._start_time = time.time()
         self._last_report = self._last_checkpoint = self._last_best_check = self._last_milestone = self._start_time
-        transitions_per_iter = cfg.num_envs * cfg.rollout
+        transitions_per_iter = cfg.num_envs * cfg.rollout * self._fused_iterations
         frameskip = cfg.env_frameskip if cfg.summaries_use_frameskip else 1
 
         log.info("Starting training for %d env steps (current: %d)", cfg.train_for_env_steps, self.env_steps)
@@ -245,6 +273,7 @@ class Runner:
                     jax.profiler.stop_trace()
                 except Exception:  # noqa: BLE001 - trace may already be stopped
                     pass
+            self._drain_ep_stats()
             self._save(is_final=True)
             if self.writer is not None:
                 self.writer.close()
@@ -293,11 +322,20 @@ class Runner:
         # they are already cross-host totals, replicated on every host — no
         # host-side aggregation needed (tested in tests/test_multihost.py);
         # env_steps/fps likewise count global envs (cfg.num_envs is global)
-        ep = jax.device_get(ep_stats)
-        self.episode_stats.add_rollout_stats(
-            float(ep["count"]), float(ep["return_sum"]), float(ep["len_sum"])
-        )
+        self._pending_ep.append(ep_stats)
+        if len(self._pending_ep) >= self._max_pending_ep:
+            self._drain_ep_stats()
         self._last_stats = stats  # device arrays; fetched lazily at report time
+
+    def _drain_ep_stats(self) -> None:
+        """Fetch all in-flight episodic stats (device futures) at once."""
+        if not self._pending_ep:
+            return
+        pending, self._pending_ep = self._pending_ep, []
+        for ep in jax.device_get(pending):
+            self.episode_stats.add_rollout_stats(
+                float(ep["count"]), float(ep["return_sum"]), float(ep["len_sum"])
+            )
 
     def _periodic_tasks(self, stats) -> None:
         cfg = self.cfg
@@ -316,6 +354,7 @@ class Runner:
             self._last_best_check = now
 
     def _report(self, stats) -> None:
+        self._drain_ep_stats()
         if stats is None:
             stats = self._last_stats
         host_stats = {} if stats is None else {k: float(v) for k, v in jax.device_get(stats).items()}
@@ -356,6 +395,7 @@ class Runner:
                 f.write(str(self.env_steps))
 
     def _maybe_save_best(self) -> None:
+        self._drain_ep_stats()
         metric = self.episode_stats.avg_reward
         if metric is None or self.env_steps < self.cfg.save_best_after:
             return
