@@ -69,8 +69,11 @@ def _train_cfg(tmp_path, experiment, env="synthetic_vector_discrete", extra=None
             marks=pytest.mark.slow,
         ),
         pytest.param("synthetic_vector_discrete", ["--async_rl=False", "--compute_dtype=bfloat16"], 1.3, marks=pytest.mark.slow),
+        # K rollout+train cycles fused into one XLA program (lax.scan);
+        # learning and env_steps accounting must be unchanged
+        ("synthetic_vector_discrete", ["--async_rl=False", "--fused_iterations=4"], 1.3),
     ],
-    ids=["sync", "async", "vtrace_rnn", "continuous", "tuple_actions", "lstm_separate_weights", "bfloat16"],
+    ids=["sync", "async", "vtrace_rnn", "continuous", "tuple_actions", "lstm_separate_weights", "bfloat16", "fused_iterations"],
 )
 def test_learns_objective(tmp_path, env, extra, threshold):
     cfg = _train_cfg(tmp_path, f"e2e_{env}", env=env, extra=extra)
