@@ -15,9 +15,10 @@ TPU-native design notes:
   - data parallelism comes from jit's SPMD partitioner: trajectories are
     sharded over the env axis, params replicated, so grad reductions become
     psums over the mesh — no explicit collectives in this file
-  - known deviation: no early-stop on loss plateau (reference :827-837) —
-    data-dependent epoch breaks don't exist under jit; with the typical 1-2
-    epochs this is a no-op in practice
+  - early-stop on loss plateau (reference :827-837) IS implemented: the
+    epoch scan runs a `lax.cond` that turns post-plateau epochs into no-op
+    passes (see the early-stop block in make_train_fn) — same effective
+    number of SGD updates, constant trace shape
   - sync-mode generalization: one train call consumes the entire collected
     rollout (num_minibatches = dataset/batch_size per epoch) instead of
     splitting it into several sequential iterations
@@ -250,7 +251,9 @@ def build_train_pieces(cfg, env_info, model, tx: optax.GradientTransformation, p
         obs_rms = ts.obs_rms
         if obs_rms is not None:
             flat_obs = {k: v.reshape((-1,) + v.shape[2:]) for k, v in pre_obs.items()}
-            obs_rms = obs_rms_update(obs_rms, {k: flat_obs[k] for k in obs_rms})
+            # masked by valids: in mixed-policy self-play the shared trajectory
+            # carries other policies' slots; stats must only see our experience
+            obs_rms = obs_rms_update(obs_rms, {k: flat_obs[k] for k in obs_rms}, mask=valids.reshape(-1))
             normalized_obs = obs_rms_normalize(obs_rms, pre_obs)
         else:
             normalized_obs = pre_obs
@@ -277,7 +280,9 @@ def build_train_pieces(cfg, env_info, model, tx: optax.GradientTransformation, p
             advantages = gae_advantages(rewards, traj["dones"], denorm_values, valids, gamma, cfg.gae_lambda)
             returns = advantages + valids[:-1] * denorm_values[:-1]
             if cfg.normalize_returns and returns_rms is not None:
-                returns_rms = rms_update(returns_rms, returns.reshape(-1, 1))
+                # masked by valids: invalid slots carry structurally-zero
+                # returns that would dilute the running stats toward zero
+                returns_rms = rms_update(returns_rms, returns.reshape(-1, 1), mask=valids_t.reshape(-1))
                 returns = rms_normalize(returns_rms, returns[..., None])[..., 0]
         else:
             advantages = jnp.zeros_like(rewards)

@@ -93,6 +93,7 @@ class QuantizedTrainer:
         the analog of --num_batches_to_accumulate=2 backpressure)."""
         assert not self._thunks, "flush() the previous train step before enqueue()"
         M, E = self.num_minibatches, self.num_epochs
+        n_thunks_at_entry = len(self._thunks)
         keys = list(jax.random.split(key, M * E))
         st = self._state = {"ts": ts, "mbs": None, "vf": None, "aux": None, "stats_aux": None}
         self._traj = traj
@@ -123,7 +124,10 @@ class QuantizedTrainer:
                 st["ts"] = self._lr(st["ts"], jnp.stack(epoch_kls))
 
             self._thunks.append(q_lr)
-        self.total_quanta_enqueued += len(self._thunks)
+        # count only quanta added by THIS call — callers normally flush()
+        # first, but if undrained thunks remain they must not be re-counted
+        # (the counter feeds overlap-fraction accounting)
+        self.total_quanta_enqueued += len(self._thunks) - n_thunks_at_entry
 
     def dispatch_one(self) -> bool:
         """Dispatch the next quantum (non-blocking). Returns True while more

@@ -66,23 +66,57 @@ def _reduce_axes(state: RunningMeanStdState, x: jnp.ndarray) -> Tuple[int, ...]:
     return tuple(range(x.ndim - state.running_mean.ndim))
 
 
-def rms_update(state: RunningMeanStdState, x: jnp.ndarray) -> RunningMeanStdState:
-    """Merge batch moments into running moments (reference :50-62)."""
+def rms_update(
+    state: RunningMeanStdState, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> RunningMeanStdState:
+    """Merge batch moments into running moments (reference :50-62).
+
+    `mask` (optional) weights samples along the LEADING batch dims of `x`
+    (shape = a prefix of x.shape); masked-out samples contribute nothing.
+    The reference updates its normalizers unmasked — safe there because each
+    torch learner only ever sees its own policy's trajectories. In the TPU
+    mixed-policy device self-play regime every policy's train_fn runs on the
+    SHARED trajectory where (P-1)/P slots are structurally invalid (zero
+    returns), so an unmasked update would dilute return statistics toward
+    zero; callers pass valids as the mask. If the whole batch is masked out,
+    the state is returned unchanged (no NaNs).
+    """
     x = x.astype(jnp.float32)
     axes = _reduce_axes(state, x)
-    batch_count = 1.0
-    for a in axes:
-        batch_count = batch_count * x.shape[a]
-    batch_mean = jnp.mean(x, axis=axes)
-    batch_var = jnp.var(x, axis=axes)
+    if mask is None:
+        batch_count = 1.0
+        for a in axes:
+            batch_count = batch_count * x.shape[a]
+        batch_mean = jnp.mean(x, axis=axes)
+        batch_var = jnp.var(x, axis=axes)
+    else:
+        w = mask.astype(jnp.float32)
+        w_full = w.reshape(w.shape + (1,) * (x.ndim - w.ndim))  # broadcast over trailing dims
+        # total weight per stats element: sum of w over mask dims x size of
+        # the remaining (unmasked) reduction dims
+        extra = 1.0
+        for a in axes:
+            if a >= w.ndim:
+                extra = extra * x.shape[a]
+        batch_count = jnp.sum(w) * extra
+        safe_count = jnp.maximum(batch_count, 1.0)
+        batch_mean = jnp.sum(w_full * x, axis=axes) / safe_count
+        batch_var = jnp.sum(w_full * jnp.square(x - batch_mean), axis=axes) / safe_count
 
     delta = batch_mean - state.running_mean
     tot_count = state.count + batch_count
-    new_mean = state.running_mean + delta * batch_count / tot_count
+    safe_tot = jnp.maximum(tot_count, 1e-6)
+    new_mean = state.running_mean + delta * batch_count / safe_tot
     m_a = state.running_var * state.count
     m_b = batch_var * batch_count
-    m2 = m_a + m_b + jnp.square(delta) * state.count * batch_count / tot_count
-    new_var = m2 / tot_count
+    m2 = m_a + m_b + jnp.square(delta) * state.count * batch_count / safe_tot
+    new_var = m2 / safe_tot
+    if mask is not None:
+        # keep state bit-identical when the batch contributes no valid samples
+        empty = batch_count == 0.0
+        new_mean = jnp.where(empty, state.running_mean, new_mean)
+        new_var = jnp.where(empty, state.running_var, new_var)
+        tot_count = jnp.where(empty, state.count, tot_count)
     return state.replace(running_mean=new_mean, running_var=new_var, count=tot_count)
 
 
@@ -136,8 +170,10 @@ def obs_rms_init(obs_space, keys_to_normalize: Optional[Sequence[str]] = None, *
     return out
 
 
-def obs_rms_update(state: ObsRmsState, obs: Dict[str, jnp.ndarray]) -> ObsRmsState:
-    return {k: rms_update(v, obs[k]) for k, v in state.items()}
+def obs_rms_update(
+    state: ObsRmsState, obs: Dict[str, jnp.ndarray], mask: Optional[jnp.ndarray] = None
+) -> ObsRmsState:
+    return {k: rms_update(v, obs[k], mask=mask) for k, v in state.items()}
 
 
 def obs_rms_normalize(state: ObsRmsState, obs: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:

@@ -81,6 +81,14 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
 
         self.mapping = AgentPolicyMapping(cfg, self.env_info)
         base = self.mapping.initial_slot_policies(self.sampler.num_envs)
+        if self.sampler.num_envs % self.P != 0:
+            # sync-mode slot%P mixing only yields equal per-policy experience
+            # when slots divide evenly (MultiPolicyRunner asserts the same)
+            log.warning(
+                "num agent-slots (%d) is not divisible by num_policies (%d): "
+                "per-policy experience will be imbalanced by up to 1 slot",
+                self.sampler.num_envs, self.P,
+            )
         self.slot_policies = base.reshape(self.sampler.K, self.sampler.split_size)
 
         example_obs = {k: jnp.asarray(v[:2]) for k, v in self.sampler._split_obs(0).items()}

@@ -154,9 +154,20 @@ def configure_jax_platform(cfg) -> None:
     computation. 'tpu' and 'auto' keep the environment's default backend
     (TPU plugins may register under a vendor platform name)."""
     device = getattr(cfg, "device", "auto")
-    if device in (None, "auto", "tpu"):
-        return
     import os
+
+    if device in (None, "auto", "tpu"):
+        # auto-detect on a CPU-only setup still needs the O2->O1 workaround
+        # below; we can't probe for accelerators without initializing the
+        # backend (which would freeze the platform choice), so apply it when
+        # the environment already forces the cpu platform. CPU-only machines
+        # with no JAX_PLATFORMS set should pass --device=cpu explicitly.
+        if device in (None, "auto") and os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+            if "xla_backend_optimization_level" not in os.environ.get("XLA_FLAGS", ""):
+                os.environ["XLA_FLAGS"] = (
+                    os.environ.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=1"
+                ).strip()
+        return
 
     if device == "cpu" and "xla_backend_optimization_level" not in os.environ.get("XLA_FLAGS", ""):
         # XLA:CPU's O2 LLVM backend hits a pathological pass (minutes-long

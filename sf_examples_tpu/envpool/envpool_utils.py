@@ -107,6 +107,10 @@ def make_envpool_env(env_name: str, cfg=None, env_config=None, render_mode: Opti
     if env_config is not None and getattr(env_config, "num_envs", None):
         num_envs = int(env_config.num_envs)
     seed = (cfg.seed or 0) if cfg is not None else 0
+    # env_seed_offset decorrelates episode streams across multihost processes
+    # (set by the host runners); pools are seeded at construction only, so the
+    # offset must be folded in here
+    seed += int(getattr(cfg, "env_seed_offset", 0) or 0) if cfg is not None else 0
     if env_config is not None:
         seed += int(getattr(env_config, "env_id", 0) or 0)
     return EnvPoolBatchedEnv(task_id, num_envs=num_envs, seed=seed)

@@ -64,6 +64,9 @@ def make_envpool_atari_env(env_name: str, cfg=None, env_config=None, render_mode
     if env_config is not None and getattr(env_config, "num_envs", None):
         num_envs = int(env_config.num_envs)
     seed = (cfg.seed or 0) if cfg is not None else 0
+    # fold in the multihost decorrelation offset: pools seed at construction
+    # only (EnvPoolBatchedEnv.reset ignores per-reset seeds)
+    seed += int(getattr(cfg, "env_seed_offset", 0) or 0) if cfg is not None else 0
     if env_config is not None:
         seed += int(getattr(env_config, "env_id", 0) or 0)
     return EnvPoolBatchedEnv(spec.env_id, num_envs=num_envs, seed=seed, transpose_hwc=True, **kwargs)
