@@ -21,6 +21,14 @@ Scenarios (each vs its matching reference row, BASELINE.md):
                        `benchmarking_xeon_36core.txt:31-45`)
   4. ant_physics     — AntEnv: real rigid-body quadruped dynamics
                        (envs/builtin/ant.py), 4096 envs, same widths as #1
+
+Efficiency accounting: every scenario row also carries model-flops fields —
+"model_flops_per_env_step" (XLA cost analysis of the unrolled forward x the
+rollout/train multiplier), "tflops" (achieved), and "mfu" vs the chip's dense
+bf16 peak (device_kind-matched). Host-feeding decomposition rows
+(host_pipeline_slab_producer_rate / _device_put_split / _inference_only)
+split host_pixel_pipeline_appo into its producer / upload / inference stages
+so hardware-bound and framework-bound cost are separable.
 """
 
 from __future__ import annotations
@@ -35,6 +43,67 @@ import jax.numpy as jnp
 
 ISAAC_ANT_FPS = 204651.0  # IsaacGym Ant, 1 GPU (lower bound of the published range)
 VIZDOOM_XEON_FPS = 137131.0  # ViZDoom battle, 36-core Xeon + GPUs
+
+# per-chip bf16 peak (dense MXU), matched by substring against device_kind;
+# order matters (v5p before the v5-lite catch-all)
+TPU_PEAK_BF16 = [
+    ("v6", 918e12),  # Trillium / v6e
+    ("v5p", 459e12),
+    ("v5", 197e12),  # v5 lite (v5e)
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+]
+
+
+def _device_peak_bf16():
+    kind = jax.devices()[0].device_kind
+    for tag, peak in TPU_PEAK_BF16:
+        if tag in kind.lower():
+            return peak, kind
+    return None, kind
+
+
+def _fwd_flops_per_sample(model, params, example_obs, rnn_state, batch: int = 1024):
+    """Model forward flops per sample, from XLA cost analysis of the UNROLLED
+    single-step forward, compiled on the CPU backend (HLO flop counts are
+    backend-independent and the compile is free — no tunnel round-trip).
+    The scan-based train program itself can't be cost-analyzed: XLA's
+    analysis counts while-loop bodies once, not x trip count."""
+    try:
+        obs_b = {k: jax.ShapeDtypeStruct((batch,) + tuple(v.shape[1:]), v.dtype) for k, v in example_obs.items()}
+        rnn_b = jax.ShapeDtypeStruct((batch,) + tuple(rnn_state.shape[1:]), rnn_state.dtype)
+        p_spec = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+        compiled = jax.jit(lambda p, o, r: model.apply(p, o, r), backend="cpu").lower(p_spec, obs_b, rnn_b).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca["flops"]) / batch
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        return None
+
+
+def _mfu_fields(fwd_flops_per_sample, fps, rollout: int, num_epochs: int):
+    """MODEL-flops MFU: rollout inference (1 fwd/step) + T+1 bootstrap value
+    pass (1/rollout) + training (fwd + backward ~= 2x fwd, per epoch, every
+    sample trains once per epoch). Env dynamics / GAE / optimizer flops are
+    excluded (the standard model-flops convention), so this is conservative
+    for physics-bearing scenarios. MFU denominator is the chip's dense bf16
+    peak; f32 scenarios face a lower realistic ceiling (f32 matmuls run as
+    multi-pass bf16 on the MXU), stated in the note."""
+    if fwd_flops_per_sample is None:
+        return {}
+    peak, kind = _device_peak_bf16()
+    flops_per_env_step = fwd_flops_per_sample * (1.0 + 1.0 / rollout + 3.0 * num_epochs)
+    tflops = fps * flops_per_env_step / 1e12
+    out = {
+        "model_flops_per_env_step": round(flops_per_env_step),
+        "tflops": round(tflops, 3),
+        "device_kind": kind,
+    }
+    if peak is not None:
+        out["mfu"] = round(tflops * 1e12 / peak, 5)
+        out["mfu_peak_tflops_bf16"] = peak / 1e12
+    return out
 
 
 def _run_scenario(cfg, env, num_envs: int, seed: int = 0):
@@ -63,6 +132,10 @@ def _run_scenario(cfg, env, num_envs: int, seed: int = 0):
     rollout_fn = make_rollout_fn(cfg, env, env_info, model)
     train_fn = make_train_fn(cfg, env_info, model, tx, 0)
 
+    fwd_flops = _fwd_flops_per_sample(
+        model, ts.params, {k: v[:2] for k, v in ss.obs.items()}, ss.rnn_state[:2], batch=1024
+    )
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_iteration(ts, ss, key):
         ss, traj, ep_stats = rollout_fn(ts.params, ts.obs_rms, ss, ts.train_step, 0)
@@ -89,7 +162,8 @@ def _run_scenario(cfg, env, num_envs: int, seed: int = 0):
         ts, ss, stats = train_iteration(ts, ss, k)
     jax.block_until_ready(stats)
     elapsed = time.perf_counter() - t0
-    return iters * num_envs * cfg.rollout / elapsed
+    fps = iters * num_envs * cfg.rollout / elapsed
+    return fps, _mfu_fields(fwd_flops, fps, cfg.rollout, cfg.num_epochs)
 
 
 def bench_mlp_synthetic():
@@ -127,7 +201,8 @@ def bench_mlp_synthetic():
         def _obs(self, key):
             return {"obs": jax.random.uniform(key, (60,))}
 
-    return _run_scenario(cfg, BenchEnv(), num_envs), num_envs
+    fps, mfu = _run_scenario(cfg, BenchEnv(), num_envs)
+    return fps, num_envs, mfu
 
 
 def bench_ant_physics():
@@ -152,7 +227,8 @@ def bench_ant_physics():
             "--seed=0",
         ],
     )
-    return _run_scenario(cfg, AntEnv(), num_envs), num_envs
+    fps, mfu = _run_scenario(cfg, AntEnv(), num_envs)
+    return fps, num_envs, mfu
 
 
 def bench_grid_battle():
@@ -180,7 +256,8 @@ def bench_grid_battle():
             "--seed=0",
         ],
     )
-    return _run_scenario(cfg, GridBattleEnv(), num_envs), num_envs
+    fps, mfu = _run_scenario(cfg, GridBattleEnv(), num_envs)
+    return fps, num_envs, mfu
 
 
 class _BenchPixelBatchedEnv:
@@ -287,13 +364,83 @@ def _host_pixel_child() -> int:
     runner.run()
     warm = marks[8:]  # skip compile/warmup iterations
     fps = (warm[-1][1] - warm[0][1]) / (warm[-1][0] - warm[0][0])
-    print(json.dumps({"host_pixel_fps": round(fps, 1)}), flush=True)
+    fwd_flops = _fwd_flops_per_sample(
+        runner.model,
+        runner.train_state.params,
+        {k: np.asarray(v[:2]) for k, v in runner.sampler._split_obs(0).items()},
+        np.asarray(runner.sampler.rnn_states[0][:2]),
+        batch=256,
+    )
+    print(json.dumps({"host_pixel_fps": round(fps, 1), "fwd_flops_per_sample": fwd_flops}), flush=True)
     return 0
 
 
-def bench_host_pixel() -> float:
-    """Spawn the host-pixel scenario on the CPU backend (the tunneled-TPU
-    device RTT would swamp the feeding pipeline this metric measures)."""
+def _producer_child() -> int:
+    """Host-feeding decomposition, stage 1: worker->shm-slab PRODUCER rate.
+
+    Same worker-process/slab machinery as the host_pixel scenario, but no
+    policy inference and no learner — the host writes constant actions into
+    the action slab and drives the step/ready handshake as fast as the env
+    workers can fill observation slabs. The gap between this number and
+    host_pixel_pipeline_appo is the cost of inference + upload + training."""
+    import numpy as np  # noqa: F401
+
+    from sample_factory_tpu.algo.host_sampling import HostVectorSampler
+    from sample_factory_tpu.cfg.arguments import parse_full_cfg, parse_sf_args
+    from sample_factory_tpu.envs.env_info import obtain_env_info
+    from sample_factory_tpu.models.actor_critic import create_actor_critic
+
+    argv = [
+        "--env=bench_host_pixel",
+        "--experiment=bench_producer",
+        "--train_dir=/tmp/sf_tpu_bench",
+        "--restart_behavior=overwrite",
+        "--device=cpu",
+        "--num_workers=2",
+        "--num_envs_per_worker=32",
+        "--worker_num_splits=2",
+        "--rollout=32",
+        "--use_rnn=False",
+        "--encoder_conv_architecture=convnet_simple",
+        "--seed=0",
+        "--decorrelate_envs_on_one_worker=False",
+    ]
+    parser, _ = parse_sf_args(argv=argv)
+    cfg = parse_full_cfg(parser, argv=argv)
+    _register_bench_pixel()
+    env_info = obtain_env_info(cfg, register_fn=_register_bench_pixel)
+    model = create_actor_critic(cfg, env_info.obs_space, env_info.action_space)
+    sampler = HostVectorSampler(cfg, env_info, model, register_fn=_register_bench_pixel)
+    sampler.start()
+
+    signaled = [False] * sampler.K
+
+    def step_all(n: int) -> None:
+        for _t in range(n):
+            for s in range(sampler.K):
+                if signaled[s]:
+                    sampler._wait_ready(s)
+                sampler.slabs.arrays["actions"][:, s] = 0
+                sampler._signal_step(s)
+                signaled[s] = True
+
+    step_all(64)  # warmup (worker env construction already done in start())
+    n = 512
+    t0 = time.perf_counter()
+    step_all(n)
+    for s in range(sampler.K):
+        sampler._wait_ready(s)
+        signaled[s] = False
+    elapsed = time.perf_counter() - t0
+    fps = n * sampler.num_envs / elapsed
+    print(json.dumps({"producer_fps": round(fps, 1)}), flush=True)
+    sampler.close()
+    return 0
+
+
+def _run_cpu_child(flag: str, result_key: str, extra_keys=()):
+    """Spawn a bench scenario on the CPU backend (the tunneled-TPU device RTT
+    would swamp what these host-side metrics measure)."""
     import os
     import subprocess
 
@@ -301,7 +448,7 @@ def bench_host_pixel() -> float:
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=1").strip()
     out = subprocess.run(
-        [sys.executable, __file__, "--host-pixel-child"],
+        [sys.executable, __file__, flag],
         capture_output=True,
         text=True,
         env=env,
@@ -309,70 +456,213 @@ def bench_host_pixel() -> float:
     )
     for line in reversed(out.stdout.splitlines()):
         try:
-            return float(json.loads(line)["host_pixel_fps"])
+            rec = json.loads(line)
+            return (float(rec[result_key]),) + tuple(rec.get(k) for k in extra_keys)
         except Exception:  # noqa: BLE001
             continue
-    raise RuntimeError(f"host pixel bench child failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    raise RuntimeError(f"bench child {flag} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def bench_host_pixel():
+    return _run_cpu_child("--host-pixel-child", "host_pixel_fps", ("fwd_flops_per_sample",))
+
+
+def bench_producer() -> float:
+    return _run_cpu_child("--producer-child", "producer_fps")[0]
+
+
+def bench_device_transfer():
+    """Host-feeding decomposition, stage 2: host->device obs upload.
+
+    (a) split-sized transfers (64 x 42x42x4 uint8 — exactly what the host
+    pipeline ships per inference call): per-call latency dominates on a
+    tunneled device, link bandwidth on a locally-attached one;
+    (b) bulk 64 MB transfers: the bandwidth ceiling pipelining can reach."""
+    import numpy as np
+
+    dev = jax.devices()[0]
+    split = np.random.default_rng(0).integers(0, 255, (64, 42, 42, 4), np.uint8)
+    for _ in range(3):
+        jax.device_put(split, dev).block_until_ready()
+    n = 50
+    t0 = time.perf_counter()
+    for _ in range(n):
+        jax.device_put(split, dev).block_until_ready()
+    split_obs_rate = n * split.shape[0] / (time.perf_counter() - t0)
+
+    big = np.random.default_rng(1).integers(0, 255, (64 << 20,), np.uint8)
+    jax.device_put(big, dev).block_until_ready()
+    m = 8
+    t0 = time.perf_counter()
+    for _ in range(m):
+        jax.device_put(big, dev).block_until_ready()
+    bulk_gbps = m * big.nbytes / (time.perf_counter() - t0) / 1e9
+    return split_obs_rate, bulk_gbps
+
+
+def bench_pixel_inference_only():
+    """Host-feeding decomposition, stage 3: device-resident inference rate for
+    the host_pixel model (uint8 obs already on device; upper bound on the
+    pipeline's inference stage). Measured at the pipeline's split size (64,
+    per-call latency visible) and at batch 4096 (device compute ceiling)."""
+    import numpy as np
+
+    from sample_factory_tpu.algo.host_sampling import initial_actor_critic_state
+    from sample_factory_tpu.cfg.arguments import default_cfg
+    from sample_factory_tpu.envs.env_info import obtain_env_info
+    from sample_factory_tpu.models.actor_critic import create_actor_critic
+
+    cfg = default_cfg(
+        env="bench_host_pixel",
+        argv=[
+            "--use_rnn=False",
+            "--encoder_conv_architecture=convnet_simple",
+            "--encoder_conv_mlp_layers", "128",
+            "--normalize_input=True",
+            "--seed=0",
+        ],
+    )
+    _register_bench_pixel()
+    env_info = obtain_env_info(cfg, register_fn=_register_bench_pixel)
+    model = create_actor_critic(cfg, env_info.obs_space, env_info.action_space)
+
+    rates = {}
+    for batch in (64, 4096):
+        obs = jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (batch, 42, 42, 4), np.uint8)
+        )
+        rnn = initial_actor_critic_state(cfg, batch)
+        key = jax.random.PRNGKey(0)
+        params = model.init(key, {"obs": obs.astype(jnp.float32) / 255.0}, rnn)
+
+        @jax.jit
+        def fwd(p, o, r):
+            scaled = {"obs": o["obs"].astype(jnp.float32) / 255.0}
+            return model.apply(p, scaled, r)
+
+        out = fwd(params, {"obs": obs}, rnn)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        n = 100
+        for _ in range(n):
+            out = fwd(params, {"obs": obs}, rnn)
+        jax.block_until_ready(out)
+        rates[batch] = n * batch / (time.perf_counter() - t0)
+    return rates
 
 
 def main() -> int:
     if "--host-pixel-child" in sys.argv:
         return _host_pixel_child()
+    if "--producer-child" in sys.argv:
+        return _producer_child()
 
     suite = []
 
-    fps, n = bench_mlp_synthetic()
+    fps, n, mfu = bench_mlp_synthetic()
     suite.append(
         {
             "metric": "mlp_synthetic_sync_ppo_framework_ceiling",
             "value": round(fps, 1),
             "unit": "env_steps/s",
             "vs_baseline": round(fps / ISAAC_ANT_FPS, 3),
+            **mfu,
             "note": f"{n} physics-FREE envs, IsaacGym-Ant widths; framework+NN overhead ceiling, "
-            "not a physics comparison (that is ant_physics_sync_ppo)",
+            "not a physics comparison (that is ant_physics_sync_ppo); f32 model — realistic MXU "
+            "ceiling is below the quoted bf16 peak",
         }
     )
     print(json.dumps(suite[-1]), flush=True)
 
-    fps = bench_host_pixel()
+    fps, fwd_flops = bench_host_pixel()
+    host_mfu = _mfu_fields(fwd_flops, fps, rollout=32, num_epochs=1)
     suite.append(
         {
             "metric": "host_pixel_pipeline_appo",
             "value": round(fps, 1),
             "unit": "env_steps/s",
             "vs_baseline": round(fps / 50000.0, 3),
+            **host_mfu,
             "note": "42x42x4 uint8 synthetic batched host env (envpool-style, zero env cost), "
             "2 worker procs on a 2-CPU box, quantized async learner on the CPU backend; "
             "vs ViZDoom battle 50K FPS on a 10-core i9 (feeding-machinery proxy — this "
-            "box has 5x fewer cores, no accelerator for inference, and no real game engine)",
+            "box has 5x fewer cores, no accelerator for inference, and no real game engine); "
+            "see host_pipeline_* decomposition rows for where the ceiling is",
         }
     )
     print(json.dumps(suite[-1]), flush=True)
 
-    fps, n = bench_grid_battle()
+    # --- host-feeding decomposition: producer / upload / inference stages
+    producer_fps = bench_producer()
+    suite.append(
+        {
+            "metric": "host_pipeline_slab_producer_rate",
+            "value": round(producer_fps, 1),
+            "unit": "env_steps/s",
+            "vs_baseline": round(producer_fps / 50000.0, 3),
+            "note": "stage 1 of host_pixel_pipeline_appo: worker procs filling shm obs slabs with "
+            "constant actions, NO inference/upload/training — the pure producer ceiling on this box",
+        }
+    )
+    print(json.dumps(suite[-1]), flush=True)
+
+    split_obs_rate, bulk_gbps = bench_device_transfer()
+    suite.append(
+        {
+            "metric": "host_pipeline_device_put_split",
+            "value": round(split_obs_rate, 1),
+            "unit": "obs/s",
+            "vs_baseline": round(split_obs_rate / 50000.0, 3),
+            "bulk_bandwidth_gbps": round(bulk_gbps, 3),
+            "note": "stage 2: host->device upload of split-sized uint8 obs batches (64x42x42x4, "
+            "per-call latency visible — on the tunneled TPU this is RTT-bound); "
+            "bulk_bandwidth_gbps = 64MB transfers, the ceiling pipelining can reach",
+        }
+    )
+    print(json.dumps(suite[-1]), flush=True)
+
+    inf_rates = bench_pixel_inference_only()
+    suite.append(
+        {
+            "metric": "host_pipeline_inference_only",
+            "value": round(inf_rates[4096], 1),
+            "unit": "obs/s",
+            "vs_baseline": round(inf_rates[4096] / 50000.0, 3),
+            "split_size_rate": round(inf_rates[64], 1),
+            "note": "stage 3: device-resident conv inference for the host-pixel model at batch "
+            "4096 (device ceiling) and at the pipeline's split size 64 (split_size_rate, "
+            "dispatch-latency-bound through the tunnel)",
+        }
+    )
+    print(json.dumps(suite[-1]), flush=True)
+
+    fps, n, mfu = bench_grid_battle()
     suite.append(
         {
             "metric": "grid_battle_pixel_rnn_ppo",
             "value": round(fps, 1),
             "unit": "env_steps/s",
             "vs_baseline": round(fps / VIZDOOM_XEON_FPS, 3),
+            **mfu,
             "note": f"{n} on-device 24x24x3 pixel envs, IMPALA conv + GRU-256, bf16; "
             "vs ViZDoom battle 137,131 FPS (36-core Xeon + GPUs)",
         }
     )
     print(json.dumps(suite[-1]), flush=True)
 
-    fps, n = bench_ant_physics()
+    fps, n, mfu = bench_ant_physics()
     headline = {
         "metric": "ant_physics_sync_ppo",
         "value": round(fps, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(fps / ISAAC_ANT_FPS, 3),
+        **mfu,
         "note": f"{n} on-device rigid-body ant envs (real dynamics, envs/builtin/ant.py) "
-        "vs IsaacGym Ant PhysX 204,651 FPS (1 GPU)",
+        "vs IsaacGym Ant PhysX 204,651 FPS (1 GPU); MFU counts MODEL flops only — "
+        "physics flops excluded, so the chip is busier than the mfu field suggests",
         "suite": suite + [None],  # placeholder replaced below
     }
-    headline["suite"][-1] = {k: headline[k] for k in ("metric", "value", "unit", "vs_baseline")}
+    headline["suite"][-1] = {k: headline[k] for k in ("metric", "value", "unit", "vs_baseline") if k in headline}
     print(json.dumps(headline), flush=True)
     return 0
 
