@@ -31,13 +31,20 @@ import pytest
 
 
 def pytest_collection_modifyitems(config, items):
-    """Skip @pytest.mark.slow tests unless SF_TPU_RUN_SLOW=1 — keeps the
-    default `pytest tests/` signal under the CI time budget while the full
-    e2e sweep stays one env var away (reference keeps its heavyweight
-    examples tests in a separate slow tier too)."""
-    if os.environ.get("SF_TPU_RUN_SLOW"):
-        return
-    skip = pytest.mark.skip(reason="slow test; set SF_TPU_RUN_SLOW=1 to run")
+    """Three test tiers (reference Makefile:46-49 has a fast/slow split):
+
+    - default `pytest tests/`: unit + small e2e, target <10 min on a 2-core box
+    - medium (SF_TPU_RUN_MEDIUM=1): multi-process/jax.distributed suites and
+      the 100k+-step learning runs, ~15 extra minutes
+    - slow (SF_TPU_RUN_SLOW=1): the full 400k+-step convergence sweeps;
+      implies medium
+    """
+    run_slow = bool(os.environ.get("SF_TPU_RUN_SLOW"))
+    run_medium = run_slow or bool(os.environ.get("SF_TPU_RUN_MEDIUM"))
+    skip_slow = pytest.mark.skip(reason="slow test; set SF_TPU_RUN_SLOW=1 to run")
+    skip_medium = pytest.mark.skip(reason="medium test; set SF_TPU_RUN_MEDIUM=1 (or SF_TPU_RUN_SLOW=1) to run")
     for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip)
+        if not run_slow and "slow" in item.keywords:
+            item.add_marker(skip_slow)
+        elif not run_medium and "medium" in item.keywords:
+            item.add_marker(skip_medium)

@@ -141,6 +141,7 @@ def test_vectorized_batch(env_and_step):
     assert bool(jnp.all(jnp.isfinite(obs["obs"])))
 
 
+@pytest.mark.medium
 def test_ant_learns(tmp_path):
     """PPO improves the locomotion reward end to end through the device
     runner (short horizon, small budget; the full-scale run is bench.py)."""

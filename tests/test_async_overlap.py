@@ -21,6 +21,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.medium  # multi-process / long-running tier
+
 from sample_factory_tpu.algo.context import reset_global_context
 from sample_factory_tpu.runner.host_runner import HostEnvRunner
 from sample_factory_tpu.runner.runner import AlgoObserver

@@ -34,6 +34,7 @@ def test_dynamics_invariants():
     assert 0 <= int(state["agent"][0]) < 16 and 0 <= int(state["agent"][1]) < 16
 
 
+@pytest.mark.medium
 def test_grid_battle_learns(tmp_path):
     reset_global_context()
     register_synthetic_components()

@@ -17,6 +17,7 @@ def _fresh_context():
     reset_global_context()
 
 
+@pytest.mark.medium
 def test_population_learns_with_pbt(tmp_path):
     argv = [
         "--env=synthetic_vector_discrete",

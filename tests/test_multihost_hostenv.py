@@ -21,6 +21,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.medium  # multi-process / long-running tier
+
 REPO = Path(__file__).resolve().parent.parent
 
 CHILD = r"""
