@@ -1,10 +1,11 @@
 """Model export for deployment.
 
 Parity: reference `sample_factory/export_onnx.py:26-100` (OnnxExporter wrapping
-the actor-critic for inference). The TPU-native serialization formats are
-jax.export (StableHLO, loadable from any XLA runtime) and TFLite/SavedModel via
-jax2tf when TensorFlow is present; ONNX has no first-class JAX path and is out
-of scope by design.
+the actor-critic for inference). The TPU-native serialization format is
+jax.export (StableHLO, loadable from any XLA runtime). For users who need an
+ONNX runtime, `export_tf_saved_model` emits a TF SavedModel via jax2tf that
+tf2onnx converts offline — see its docstring and docs/migration.md for the
+exact two-step recipe.
 """
 
 from __future__ import annotations
@@ -90,3 +91,102 @@ def load_exported_model(path: str):
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
     return exported.call
+
+
+def export_tf_saved_model(cfg, batch_size: int = 1, output_path: Optional[str] = None) -> str:
+    """Serialize the policy to a TensorFlow SavedModel via jax2tf — the ONNX
+    interop path (reference `sample_factory/export_onnx.py:26-100`).
+
+    ONNX has no first-class JAX serialization, so the supported recipe is the
+    two-step one every JAX project uses:
+
+        1. python -m sample_factory_tpu.export_model --env=... \
+               --experiment=... --export_format=saved_model
+        2. python -m tf2onnx.convert \
+               --saved-model <experiment>/policy_p0_saved_model \
+               --output policy.onnx             (tf2onnx, run where installed)
+
+    The conversion prefers jax2tf graph serialization (pure TF ops, which
+    tf2onnx can digest); if this jax version only supports native
+    serialization (StableHLO inside a XlaCallModule op) we fall back to it
+    with a warning — that SavedModel still runs under TF but tf2onnx cannot
+    convert it, and the StableHLO artifact from export_model() is the better
+    interchange format.
+
+    Exports the DETERMINISTIC (argmax) policy: (obs dict, rnn_state) ->
+    (actions, new_rnn_state); normalization is folded in.
+    """
+    import tensorflow as tf  # gated: baked into this image; guarded import for others
+
+    from jax.experimental import jax2tf
+
+    from sample_factory_tpu.utils.utils import configure_jax_platform
+
+    configure_jax_platform(cfg)
+    cfg = load_from_checkpoint(cfg)
+    env_info = obtain_env_info(cfg)
+    model = create_actor_critic(cfg, env_info.obs_space, env_info.action_space)
+    tx = make_optimizer(cfg)
+
+    key = jax.random.PRNGKey(0)
+    obs_spec = obs_space_as_dict(env_info.obs_space)
+    example_obs = {k: jnp.zeros((batch_size,) + tuple(s.shape), jnp.float32) for k, s in obs_spec.items()}
+    rnn_state = initial_actor_critic_state(cfg, batch_size)
+
+    ts = init_train_state(cfg, env_info, model, tx, key, example_obs)
+    restored = load_checkpoint(cfg, cfg.policy_index, ts)
+    if restored is None:
+        raise FileNotFoundError("no checkpoint to export")
+    ts = restored[0]
+
+    infer = build_inference_fn(cfg, env_info, model, ts, deterministic=True)
+
+    def infer_det(obs, rnn):
+        return infer(obs, rnn, jax.random.PRNGKey(0))
+
+    try:
+        tf_fn = jax2tf.convert(infer_det, with_gradient=False, native_serialization=False)
+        serialization = "graph (tf2onnx-convertible)"
+    except Exception as e:  # noqa: BLE001 - graph serialization was removed in some jax versions
+        log.warning("jax2tf graph serialization unavailable (%s); falling back to native", e)
+        tf_fn = jax2tf.convert(infer_det, with_gradient=False)
+        serialization = "native (StableHLO-in-TF; NOT tf2onnx-convertible)"
+
+    module = tf.Module()
+    obs_sig = {k: tf.TensorSpec((batch_size,) + tuple(s.shape), tf.float32, name=k) for k, s in obs_spec.items()}
+    rnn_sig = tf.TensorSpec(tuple(rnn_state.shape), tf.float32, name="rnn_state")
+    module.infer = tf.function(tf_fn, input_signature=[obs_sig, rnn_sig], autograph=False)
+
+    output_path = output_path or join(experiment_dir(cfg), f"policy_p{cfg.policy_index}_saved_model")
+    tf.saved_model.save(module, output_path, signatures={"serving_default": module.infer})
+    log.info("Exported policy SavedModel (%s) to %s", serialization, output_path)
+    return output_path
+
+
+def main() -> int:
+    """CLI: export a trained policy. --export_format=stablehlo (default) writes
+    a jax.export artifact; saved_model writes the TF SavedModel for the ONNX
+    recipe above."""
+    import argparse
+
+    from sample_factory_tpu.cfg.arguments import parse_full_cfg, parse_sf_args
+
+    extra = argparse.ArgumentParser(add_help=False)
+    extra.add_argument("--export_format", choices=["stablehlo", "saved_model"], default="stablehlo")
+    extra.add_argument("--export_batch_size", type=int, default=1)
+    extra.add_argument("--export_output", type=str, default=None)
+    known, rest = extra.parse_known_args()
+
+    parser, _ = parse_sf_args(argv=rest, evaluation=True)
+    cfg = parse_full_cfg(parser, argv=rest)
+    if known.export_format == "saved_model":
+        export_tf_saved_model(cfg, known.export_batch_size, known.export_output)
+    else:
+        export_model(cfg, known.export_batch_size, known.export_output)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

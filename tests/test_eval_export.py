@@ -83,3 +83,28 @@ def test_export_and_reload(trained_experiment):
     actions, new_rnn = infer(obs, rnn, jax.random.PRNGKey(0))
     assert actions.shape == (4, 1)
     assert 0 <= int(np.asarray(actions).min()) and int(np.asarray(actions).max()) < 10
+
+
+def test_export_tf_saved_model(trained_experiment):
+    """ONNX interop path: jax2tf SavedModel export round-trips under TF.
+    (The final SavedModel->ONNX step needs tf2onnx, documented in
+    docs/migration.md; not installable in this image.)"""
+    tf = pytest.importorskip("tensorflow")
+
+    from sample_factory_tpu.export_model import export_tf_saved_model
+
+    argv = [
+        "--env=synthetic_vector_discrete",
+        "--experiment=ee1",
+        f"--train_dir={trained_experiment}",
+    ]
+    cfg = parse_custom_args(argv, evaluation=True)
+    path = export_tf_saved_model(cfg, batch_size=4)
+
+    loaded = tf.saved_model.load(path)
+    obs = {"obs": tf.ones((4, 8), tf.float32) * 0.5}
+    rnn = tf.zeros((4, 1), tf.float32)
+    actions, new_rnn = loaded.infer(obs, rnn)
+    assert tuple(actions.shape) == (4, 1)
+    a = actions.numpy()
+    assert 0 <= a.min() and a.max() < 10
