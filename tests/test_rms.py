@@ -78,3 +78,35 @@ def test_obs_rms_dict():
     normalized = obs_rms_normalize(state, obs)
     assert set(normalized.keys()) == {"obs", "measurements"}
     np.testing.assert_allclose(np.asarray(normalized["measurements"]), 1.0)  # untouched
+
+
+def test_rms_update_masked():
+    """Masked update == unmasked update on only the valid rows (mixed-policy
+    self-play: invalid slots must not dilute the stats), and an all-masked
+    batch leaves the state bit-identical."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(3.0, 2.0, size=(64, 1)).astype(np.float32)
+    mask = (rng.random(64) < 0.5).astype(np.float32)
+
+    s_masked = rms_update(rms_init((1,)), jnp.asarray(x), mask=jnp.asarray(mask))
+    s_subset = rms_update(rms_init((1,)), jnp.asarray(x[mask > 0]))
+    np.testing.assert_allclose(np.asarray(s_masked.running_mean), np.asarray(s_subset.running_mean), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_masked.running_var), np.asarray(s_subset.running_var), rtol=1e-5)
+    np.testing.assert_allclose(float(s_masked.count), float(s_subset.count))
+
+    before = rms_update(rms_init((1,)), jnp.asarray(x))
+    after = rms_update(before, jnp.asarray(x), mask=jnp.zeros(64))
+    np.testing.assert_array_equal(np.asarray(after.running_mean), np.asarray(before.running_mean))
+    np.testing.assert_array_equal(np.asarray(after.running_var), np.asarray(before.running_var))
+    np.testing.assert_array_equal(np.asarray(after.count), np.asarray(before.count))
+
+
+def test_rms_update_masked_per_channel():
+    """Mask over the batch dim composes with per-channel (image) stats."""
+    rng = np.random.default_rng(8)
+    imgs = rng.normal(0.5, 0.1, size=(16, 4, 4, 3)).astype(np.float32)
+    mask = np.array([1.0] * 8 + [0.0] * 8, np.float32)
+    s_masked = rms_update(rms_init((4, 4, 3), per_channel=True), jnp.asarray(imgs), mask=jnp.asarray(mask))
+    s_subset = rms_update(rms_init((4, 4, 3), per_channel=True), jnp.asarray(imgs[:8]))
+    np.testing.assert_allclose(np.asarray(s_masked.running_mean), np.asarray(s_subset.running_mean), rtol=1e-5)
+    np.testing.assert_allclose(float(s_masked.count), float(s_subset.count))
