@@ -336,6 +336,13 @@ def add_tpu_args(p: ArgumentParser) -> None:
         "dispatch overhead for very fast envs; summaries/observers fire once per fused block. "
         "Sync single-policy runner only (async policy-lag semantics assume K=1)",
     )
+    p.add_argument(
+        "--pallas_rnn",
+        default=True,
+        type=str2bool,
+        help="Use the Pallas fused-GRU sequence kernel for BPTT on TPU (VMEM-resident recurrent "
+        "weights/state; falls back to lax.scan off-TPU or for non-tileable shapes)",
+    )
     p.add_argument("--jax_distributed", default=False, type=str2bool, help="Initialize jax.distributed for multi-host runs")
     p.add_argument("--profiler_dir", default=None, type=str, help="If set, capture jax.profiler traces into this dir")
 

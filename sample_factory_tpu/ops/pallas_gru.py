@@ -1,0 +1,176 @@
+"""Pallas TPU kernel for the fused GRU sequence (the BPTT hot loop).
+
+The learner's recurrent core processes [T, B] segments with a sequential
+dependence on T (`ops/rnn_cells.py`). The lax.scan formulation already
+hoists the input projection into one big MXU matmul; what remains per step
+is a small [B, H] x [H, 3H] matmul plus gates. Under scan, XLA round-trips
+the hidden state and re-stages operands every iteration; this kernel keeps
+the recurrent weights AND the hidden state resident in VMEM for the whole
+sequence:
+
+  grid = (num_batch_tiles, T)   # T is the minor (fastest) grid dim; TPU
+                                # executes the grid sequentially, so VMEM
+                                # scratch persists across T iterations
+  x_proj blocks [1, BT, 3H] stream in double-buffered by the Pallas
+  pipeline while step t computes — the classic overlapped recurrence.
+
+Gate math is identical to FusedGRUCell._gates (cuDNN layout [r, z, n]):
+  r = sigmoid(xr + hr); z = sigmoid(xz + hz); n = tanh(xn + r * hn)
+  new_h = (1 - z) * n + z * h
+with h_proj = h @ wh + bh (bh inside the reset product, as in cuDNN), and
+done-masked state resets BETWEEN steps (output at t is pre-reset, the carry
+is zeroed where resets[t] > 0 — reference rnn_utils.py zeroes hidden state
+at episode starts; here the mask arrives as "reset AFTER consuming step t").
+
+Gradients: jax.custom_vjp — forward runs the kernel, backward rematerializes
+through the mathematically-identical lax.scan reference implementation
+(recompute-in-backward, the standard trade for sequence kernels; the scan
+backward is XLA-autodiff'd and already well-fused).
+
+Used by FusedGRUCell when `pallas_gru_supported()` (TPU backend, aligned
+shapes); lax.scan otherwise. Disable with --pallas_rnn=False.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gru_seq_reference(x_proj, h0, resets, wh, bh):
+    """lax.scan reference — the exact math of FusedGRUCell's seq branch."""
+    dtype = x_proj.dtype
+
+    def step(carry, inp):
+        x_p, reset = inp
+        h_proj = carry.astype(dtype) @ wh + bh
+        xr, xz, xn = jnp.split(x_p, 3, axis=-1)
+        hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        new_h = ((1.0 - z) * n + z * carry.astype(dtype)).astype(jnp.float32)
+        carried = jnp.where(reset[:, None] > 0, jnp.zeros_like(new_h), new_h)
+        return carried, new_h
+
+    h_final, outs = jax.lax.scan(step, h0, (x_proj, resets))
+    return outs, h_final
+
+
+def _gru_kernel(x_ref, r_ref, h0_ref, wh_ref, bh_ref, out_ref, hfin_ref, h_scr):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]
+    dtype = x_ref.dtype
+    h_proj = jnp.dot(h.astype(dtype), wh_ref[:], preferred_element_type=jnp.float32) + bh_ref[0].astype(
+        jnp.float32
+    )
+    x_proj = x_ref[0].astype(jnp.float32)
+    H = h.shape[-1]
+    xr, xz, xn = x_proj[:, :H], x_proj[:, H : 2 * H], x_proj[:, 2 * H :]
+    hr, hz, hn = h_proj[:, :H], h_proj[:, H : 2 * H], h_proj[:, 2 * H :]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    new_h = (1.0 - z) * n + z * h
+    out_ref[0] = new_h
+    reset = r_ref[0]  # [BT, 1], broadcasts over H
+    h_scr[:] = jnp.where(reset > 0, jnp.zeros_like(new_h), new_h)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        hfin_ref[:] = h_scr[:]
+
+
+def _pick_batch_tile(B: int) -> int:
+    for bt in (512, 256, 128, 64, 32, 16, 8):
+        if B % bt == 0:
+            return bt
+    return 0
+
+
+def pallas_gru_supported(T: int, B: int, H: int, dtype=jnp.float32) -> bool:
+    """TPU backend + tileable shapes (B a multiple of 8 — 16 for bf16 whose
+    min sublane tile is 16 — and H a multiple of 128)."""
+    try:
+        backend_ok = jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        backend_ok = False
+    bt = _pick_batch_tile(B)
+    sublane = 16 if jnp.dtype(dtype).itemsize == 2 else 8
+    return backend_ok and bt > 0 and bt % sublane == 0 and H % 128 == 0 and T >= 1
+
+
+def _gru_seq_pallas_raw(x_proj, h0, resets, wh, bh, *, interpret=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        # tests exercise the kernel on CPU via the interpreter
+        interpret = jax.default_backend() != "tpu"
+
+    T, B, G = x_proj.shape
+    H = h0.shape[-1]
+    assert G == 3 * H
+    BT = _pick_batch_tile(B)
+    assert BT > 0, f"batch {B} not tileable"
+    nB = B // BT
+
+    bh2 = bh.reshape(1, G)
+    resets3 = resets.reshape(T, B, 1)  # 3-D so the block's minor dims tile legally
+    outs, h_final = pl.pallas_call(
+        _gru_kernel,
+        grid=(nB, T),  # T minor: sequential on TPU, h_scr carries across t
+        in_specs=[
+            pl.BlockSpec((1, BT, G), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, 1), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((BT, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * H * 3 * H + 10 * T * B * H,
+            bytes_accessed=4 * (T * B * 3 * H + T * B * H + H * 3 * H),
+            transcendentals=3 * T * B * H,
+        ),
+        interpret=interpret,
+    )(x_proj, resets3, h0, wh, bh2)
+    return outs, h_final
+
+
+@jax.custom_vjp
+def pallas_gru_seq(x_proj, h0, resets, wh, bh):
+    """(x_proj [T,B,3H], h0 [B,H] f32, resets [T,B] float, wh [H,3H], bh [3H])
+    -> (outs [T,B,H] f32, h_final [B,H] f32)"""
+    return _gru_seq_pallas_raw(x_proj, h0, resets, wh, bh)
+
+
+def _fwd(x_proj, h0, resets, wh, bh):
+    outs = pallas_gru_seq(x_proj, h0, resets, wh, bh)
+    return outs, (x_proj, h0, resets, wh, bh)
+
+
+def _bwd(residuals, cotangents):
+    x_proj, h0, resets, wh, bh = residuals
+    # rematerialize: backward through the scan reference (identical math)
+    _, vjp_fn = jax.vjp(lambda xp, h, w, b: gru_seq_reference(xp, h, resets, w, b), x_proj, h0, wh, bh)
+    d_x_proj, d_h0, d_wh, d_bh = vjp_fn(cotangents)
+    return d_x_proj, d_h0, jnp.zeros_like(resets), d_wh, d_bh
+
+
+pallas_gru_seq.defvjp(_fwd, _bwd)

@@ -67,6 +67,14 @@ class FusedGRUCell(nn.Module):
         # fused sequence: x [T, B, D], h [B, H], resets [T, B]
         x_proj_seq = x.astype(dtype) @ wi + bi  # one large MXU matmul
 
+        from sample_factory_tpu.ops.pallas_gru import pallas_gru_seq, pallas_gru_supported
+
+        want_pallas = self.cfg is None or bool(getattr(self.cfg, "pallas_rnn", True))
+        if want_pallas and pallas_gru_supported(x.shape[0], x.shape[1], self.features, dtype):
+            # Pallas kernel: recurrent weights + hidden state stay VMEM-resident
+            # for the whole sequence; backward rematerializes via the scan below
+            return pallas_gru_seq(x_proj_seq, h, resets.astype(jnp.float32), wh, bh)
+
         def step(carry, inp):
             x_proj, reset = inp
             h_proj = carry.astype(dtype) @ wh + bh
