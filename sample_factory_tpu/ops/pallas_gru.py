@@ -174,3 +174,122 @@ def _bwd(residuals, cotangents):
 
 
 pallas_gru_seq.defvjp(_fwd, _bwd)
+
+
+# ----------------------------------------------------------------- LSTM
+
+
+def lstm_seq_reference(x_proj, hc0, resets, wh, wh_dtype_matmul=True):
+    """lax.scan reference — the exact math of FusedLSTMCell's seq branch.
+    State = concat[h, c]; gate layout [i, f, g, o], forget bias 1.0; bi is
+    already folded into x_proj by the caller (as in FusedLSTMCell)."""
+    dtype = x_proj.dtype
+    H = hc0.shape[-1] // 2
+
+    def step(carry, inp):
+        x_p, reset = inp
+        h, c = carry[:, :H], carry[:, H:]
+        proj = x_p + h.astype(dtype) @ wh
+        i, f, g, o = jnp.split(proj, 4, axis=-1)
+        new_c = jax.nn.sigmoid(f + 1.0) * c.astype(dtype) + jax.nn.sigmoid(i) * jnp.tanh(g)
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        new_hc = jnp.concatenate([new_h, new_c], axis=-1).astype(jnp.float32)
+        carried = jnp.where(reset[:, None] > 0, jnp.zeros_like(new_hc), new_hc)
+        return carried, new_h.astype(jnp.float32)
+
+    hc_final, outs = jax.lax.scan(step, hc0, (x_proj, resets))
+    return outs, hc_final
+
+
+def _lstm_kernel(x_ref, r_ref, hc0_ref, wh_ref, out_ref, hcfin_ref, hc_scr):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        hc_scr[:] = hc0_ref[:]
+
+    dtype = x_ref.dtype
+    H = wh_ref.shape[0]
+    hc = hc_scr[:]
+    h, c = hc[:, :H], hc[:, H:]
+    proj = x_ref[0].astype(jnp.float32) + jnp.dot(
+        h.astype(dtype), wh_ref[:], preferred_element_type=jnp.float32
+    )
+    i, f, g, o = proj[:, :H], proj[:, H : 2 * H], proj[:, 2 * H : 3 * H], proj[:, 3 * H :]
+    new_c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    out_ref[0] = new_h
+    new_hc = jnp.concatenate([new_h, new_c], axis=-1)
+    reset = r_ref[0]  # [BT, 1]
+    hc_scr[:] = jnp.where(reset > 0, jnp.zeros_like(new_hc), new_hc)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        hcfin_ref[:] = hc_scr[:]
+
+
+def _lstm_seq_pallas_raw(x_proj, hc0, resets, wh, *, interpret=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    T, B, G = x_proj.shape
+    H = hc0.shape[-1] // 2
+    assert G == 4 * H
+    BT = _pick_batch_tile(B)
+    assert BT > 0, f"batch {B} not tileable"
+    nB = B // BT
+
+    resets3 = resets.reshape(T, B, 1)
+    outs, hc_final = pl.pallas_call(
+        _lstm_kernel,
+        grid=(nB, T),
+        in_specs=[
+            pl.BlockSpec((1, BT, G), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BT, 1), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 2 * H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BT, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, 2 * H), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2 * H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((BT, 2 * H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * H * 4 * H + 12 * T * B * H,
+            bytes_accessed=4 * (T * B * 4 * H + T * B * H + H * 4 * H),
+            transcendentals=5 * T * B * H,
+        ),
+        interpret=interpret,
+    )(x_proj, resets3, hc0, wh)
+    return outs, hc_final
+
+
+@jax.custom_vjp
+def pallas_lstm_seq(x_proj, hc0, resets, wh):
+    """(x_proj [T,B,4H] incl. bi, hc0 [B,2H] f32, resets [T,B] float, wh [H,4H])
+    -> (outs [T,B,H] f32, hc_final [B,2H] f32)"""
+    return _lstm_seq_pallas_raw(x_proj, hc0, resets, wh)
+
+
+def _lstm_fwd(x_proj, hc0, resets, wh):
+    outs = pallas_lstm_seq(x_proj, hc0, resets, wh)
+    return outs, (x_proj, hc0, resets, wh)
+
+
+def _lstm_bwd(residuals, cotangents):
+    x_proj, hc0, resets, wh = residuals
+    _, vjp_fn = jax.vjp(lambda xp, hc, w: lstm_seq_reference(xp, hc, resets, w), x_proj, hc0, wh)
+    d_x_proj, d_hc0, d_wh = vjp_fn(cotangents)
+    return d_x_proj, d_hc0, jnp.zeros_like(resets), d_wh
+
+
+pallas_lstm_seq.defvjp(_lstm_fwd, _lstm_bwd)

@@ -123,6 +123,12 @@ class FusedLSTMCell(nn.Module):
 
         x_proj_seq = x.astype(dtype) @ wi + bi
 
+        from sample_factory_tpu.ops.pallas_gru import pallas_gru_supported, pallas_lstm_seq
+
+        want_pallas = self.cfg is None or bool(getattr(self.cfg, "pallas_rnn", True))
+        if want_pallas and pallas_gru_supported(x.shape[0], x.shape[1], H, dtype):
+            return pallas_lstm_seq(x_proj_seq, hc, resets.astype(jnp.float32), wh)
+
         def step(carry, inp):
             x_proj, reset = inp
             h, c = carry[:, :H], carry[:, H:]

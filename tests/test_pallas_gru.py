@@ -82,3 +82,29 @@ def test_cell_integration_cpu_falls_back():
     params = cell.init(jax.random.PRNGKey(0), x, h, resets=resets, seq=True)
     outs, hf = cell.apply(params, x, h, resets=resets, seq=True)
     assert outs.shape == (4, 8, 128) and hf.shape == (8, 128)
+
+
+@pytest.mark.parametrize("T,B,H", [(5, 16, 128), (16, 8, 256)])
+def test_lstm_forward_and_grads_match_scan(T, B, H):
+    from sample_factory_tpu.ops.pallas_gru import lstm_seq_reference, pallas_lstm_seq
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(T, B, 4 * H)).astype(np.float32))
+    hc0 = jnp.asarray(rng.normal(size=(B, 2 * H)).astype(np.float32))
+    resets = jnp.asarray((rng.random((T, B)) < 0.2).astype(np.float32))
+    wh = jnp.asarray((rng.normal(size=(H, 4 * H)) * 0.1).astype(np.float32))
+
+    o_ref, hc_ref = lstm_seq_reference(x, hc0, resets, wh)
+    o_k, hc_k = pallas_lstm_seq(x, hc0, resets, wh)
+    tol = 1e-4 * max(1, T // 4)
+    np.testing.assert_allclose(np.asarray(o_k), np.asarray(o_ref), atol=tol)
+    np.testing.assert_allclose(np.asarray(hc_k), np.asarray(hc_ref), atol=tol)
+
+    def loss(fn, x, hc0, wh):
+        o, hc = fn(x, hc0, resets, wh)
+        return jnp.sum(o**2) + jnp.sum(hc)
+
+    g_k = jax.grad(lambda *a: loss(pallas_lstm_seq, *a), argnums=(0, 1, 2))(x, hc0, wh)
+    g_r = jax.grad(lambda *a: loss(lstm_seq_reference, *a), argnums=(0, 1, 2))(x, hc0, wh)
+    for a, b in zip(g_k, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3)
