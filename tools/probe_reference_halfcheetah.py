@@ -50,6 +50,13 @@ def main() -> int:
     ap.add_argument("--train_for_env_steps", type=int, default=10_000_000)
     ap.add_argument("--train_dir", default="/tmp/evidence")
     ap.add_argument("--experiment", default="ref_probe_halfcheetah")
+    ap.add_argument(
+        "--init_from_tpu_checkpoint",
+        default=None,
+        help="Transplant probe: load a sample_factory_tpu msgpack checkpoint's policy weights "
+        "+ normalizer state into the reference torch model before training (fresh optimizer/LR). "
+        "Answers: can the reference's update dynamics escape OUR trot-stuck policy?",
+    )
     args = ap.parse_args()
 
     from sample_factory.algo.learning.learner import Learner
@@ -91,6 +98,37 @@ def main() -> int:
     learner = Learner(cfg, env_info, policy_versions, 0, param_server)
     learner.init()
     actor_critic = learner.actor_critic
+
+    if args.init_from_tpu_checkpoint:
+        import flax.serialization as ser
+
+        tree = ser.msgpack_restore(open(args.init_from_tpu_checkpoint, "rb").read())
+        ts = tree["train_state"]
+        p = ts["params"]["params"]
+
+        def t(a):
+            return torch.from_numpy(np.ascontiguousarray(a))
+
+        sd = actor_critic.state_dict()
+        sd["encoder.encoders.obs.mlp_head.0.weight"] = t(p["encoder"]["enc_obs"]["Dense_0"]["kernel"].T)
+        sd["encoder.encoders.obs.mlp_head.0.bias"] = t(p["encoder"]["enc_obs"]["Dense_0"]["bias"])
+        sd["encoder.encoders.obs.mlp_head.2.weight"] = t(p["encoder"]["enc_obs"]["Dense_1"]["kernel"].T)
+        sd["encoder.encoders.obs.mlp_head.2.bias"] = t(p["encoder"]["enc_obs"]["Dense_1"]["bias"])
+        sd["critic_linear.weight"] = t(p["critic_linear"]["kernel"].T)
+        sd["critic_linear.bias"] = t(p["critic_linear"]["bias"])
+        sd["action_parameterization.distribution_linear.weight"] = t(p["action_parameterization"]["Dense_0"]["kernel"].T)
+        sd["action_parameterization.distribution_linear.bias"] = t(p["action_parameterization"]["Dense_0"]["bias"])
+        sd["action_parameterization.learned_stddev"] = t(p["action_parameterization"]["learned_stddev"])
+        sd["obs_normalizer.running_mean_std.running_mean_std.obs.running_mean"] = t(ts["obs_rms"]["obs"]["running_mean"])
+        sd["obs_normalizer.running_mean_std.running_mean_std.obs.running_var"] = t(ts["obs_rms"]["obs"]["running_var"])
+        sd["obs_normalizer.running_mean_std.running_mean_std.obs.count"] = t(
+            np.asarray([ts["obs_rms"]["obs"]["count"]], dtype=np.float32)
+        )
+        sd["returns_normalizer.running_mean"] = t(ts["returns_rms"]["running_mean"])
+        sd["returns_normalizer.running_var"] = t(ts["returns_rms"]["running_var"])
+        sd["returns_normalizer.count"] = t(np.asarray([ts["returns_rms"]["count"]], dtype=np.float32))
+        actor_critic.load_state_dict(sd)
+        print(f"[ref-probe] transplanted weights + normalizer state from {args.init_from_tpu_checkpoint}")
 
     rnn_size = get_rnn_size(cfg)
     traj = alloc_trajectory_tensors(env_info, num_envs, rollout, rnn_size, torch.device("cpu"), share=False)
