@@ -452,7 +452,7 @@ def _run_cpu_child(flag: str, result_key: str, extra_keys=()):
         capture_output=True,
         text=True,
         env=env,
-        timeout=900,
+        timeout=1800,
     )
     for line in reversed(out.stdout.splitlines()):
         try:
@@ -551,6 +551,20 @@ def bench_pixel_inference_only():
     return rates
 
 
+def _try_scenario(suite, fn):
+    """Run one non-headline scenario; on failure emit an error row instead of
+    killing the whole suite (the headline must always print for the driver)."""
+    try:
+        fn(suite)
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        row = {"metric": f"{getattr(fn, '__name__', 'scenario')}", "error": f"{type(e).__name__}: {e}"}
+        traceback.print_exc(file=sys.stderr)
+        suite.append(row)
+        print(json.dumps(row), flush=True)
+
+
 def main() -> int:
     if "--host-pixel-child" in sys.argv:
         return _host_pixel_child()
@@ -559,96 +573,104 @@ def main() -> int:
 
     suite = []
 
-    fps, n, mfu = bench_mlp_synthetic()
-    suite.append(
-        {
-            "metric": "mlp_synthetic_sync_ppo_framework_ceiling",
-            "value": round(fps, 1),
-            "unit": "env_steps/s",
-            "vs_baseline": round(fps / ISAAC_ANT_FPS, 3),
-            **mfu,
-            "note": f"{n} physics-FREE envs, IsaacGym-Ant widths; framework+NN overhead ceiling, "
-            "not a physics comparison (that is ant_physics_sync_ppo); f32 model — realistic MXU "
-            "ceiling is below the quoted bf16 peak",
-        }
-    )
-    print(json.dumps(suite[-1]), flush=True)
+    def s_mlp(suite):
+        fps, n, mfu = bench_mlp_synthetic()
+        suite.append(
+            {
+                "metric": "mlp_synthetic_sync_ppo_framework_ceiling",
+                "value": round(fps, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(fps / ISAAC_ANT_FPS, 3),
+                **mfu,
+                "note": f"{n} physics-FREE envs, IsaacGym-Ant widths; framework+NN overhead ceiling, "
+                "not a physics comparison (that is ant_physics_sync_ppo); f32 model — realistic MXU "
+                "ceiling is below the quoted bf16 peak",
+            }
+        )
+        print(json.dumps(suite[-1]), flush=True)
 
-    fps, fwd_flops = bench_host_pixel()
-    host_mfu = _mfu_fields(fwd_flops, fps, rollout=32, num_epochs=1)
-    suite.append(
-        {
-            "metric": "host_pixel_pipeline_appo",
-            "value": round(fps, 1),
-            "unit": "env_steps/s",
-            "vs_baseline": round(fps / 50000.0, 3),
-            **host_mfu,
-            "note": "42x42x4 uint8 synthetic batched host env (envpool-style, zero env cost), "
-            "2 worker procs on a 2-CPU box, quantized async learner on the CPU backend; "
-            "vs ViZDoom battle 50K FPS on a 10-core i9 (feeding-machinery proxy — this "
-            "box has 5x fewer cores, no accelerator for inference, and no real game engine); "
-            "see host_pipeline_* decomposition rows for where the ceiling is",
-        }
-    )
-    print(json.dumps(suite[-1]), flush=True)
+    def s_host_pixel(suite):
+        fps, fwd_flops = bench_host_pixel()
+        host_mfu = _mfu_fields(fwd_flops, fps, rollout=32, num_epochs=1)
+        suite.append(
+            {
+                "metric": "host_pixel_pipeline_appo",
+                "value": round(fps, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(fps / 50000.0, 3),
+                **host_mfu,
+                "note": "42x42x4 uint8 synthetic batched host env (envpool-style, zero env cost), "
+                "2 worker procs on a 2-CPU box, quantized async learner on the CPU backend; "
+                "vs ViZDoom battle 50K FPS on a 10-core i9 (feeding-machinery proxy — this "
+                "box has 5x fewer cores, no accelerator for inference, and no real game engine); "
+                "see host_pipeline_* decomposition rows for where the ceiling is",
+            }
+        )
+        print(json.dumps(suite[-1]), flush=True)
 
-    # --- host-feeding decomposition: producer / upload / inference stages
-    producer_fps = bench_producer()
-    suite.append(
-        {
-            "metric": "host_pipeline_slab_producer_rate",
-            "value": round(producer_fps, 1),
-            "unit": "env_steps/s",
-            "vs_baseline": round(producer_fps / 50000.0, 3),
-            "note": "stage 1 of host_pixel_pipeline_appo: worker procs filling shm obs slabs with "
-            "constant actions, NO inference/upload/training — the pure producer ceiling on this box",
-        }
-    )
-    print(json.dumps(suite[-1]), flush=True)
+    def s_producer(suite):
+        producer_fps = bench_producer()
+        suite.append(
+            {
+                "metric": "host_pipeline_slab_producer_rate",
+                "value": round(producer_fps, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(producer_fps / 50000.0, 3),
+                "note": "stage 1 of host_pixel_pipeline_appo: worker procs filling shm obs slabs with "
+                "constant actions, NO inference/upload/training — the pure producer ceiling on this box",
+            }
+        )
+        print(json.dumps(suite[-1]), flush=True)
 
-    split_obs_rate, bulk_gbps = bench_device_transfer()
-    suite.append(
-        {
-            "metric": "host_pipeline_device_put_split",
-            "value": round(split_obs_rate, 1),
-            "unit": "obs/s",
-            "vs_baseline": round(split_obs_rate / 50000.0, 3),
-            "bulk_bandwidth_gbps": round(bulk_gbps, 3),
-            "note": "stage 2: host->device upload of split-sized uint8 obs batches (64x42x42x4, "
-            "per-call latency visible — on the tunneled TPU this is RTT-bound); "
-            "bulk_bandwidth_gbps = 64MB transfers, the ceiling pipelining can reach",
-        }
-    )
-    print(json.dumps(suite[-1]), flush=True)
+    def s_transfer(suite):
+        split_obs_rate, bulk_gbps = bench_device_transfer()
+        suite.append(
+            {
+                "metric": "host_pipeline_device_put_split",
+                "value": round(split_obs_rate, 1),
+                "unit": "obs/s",
+                "vs_baseline": round(split_obs_rate / 50000.0, 3),
+                "bulk_bandwidth_gbps": round(bulk_gbps, 3),
+                "note": "stage 2: host->device upload of split-sized uint8 obs batches (64x42x42x4, "
+                "per-call latency visible — on the tunneled TPU this is RTT-bound); "
+                "bulk_bandwidth_gbps = 64MB transfers, the ceiling pipelining can reach",
+            }
+        )
+        print(json.dumps(suite[-1]), flush=True)
 
-    inf_rates = bench_pixel_inference_only()
-    suite.append(
-        {
-            "metric": "host_pipeline_inference_only",
-            "value": round(inf_rates[4096], 1),
-            "unit": "obs/s",
-            "vs_baseline": round(inf_rates[4096] / 50000.0, 3),
-            "split_size_rate": round(inf_rates[64], 1),
-            "note": "stage 3: device-resident conv inference for the host-pixel model at batch "
-            "4096 (device ceiling) and at the pipeline's split size 64 (split_size_rate, "
-            "dispatch-latency-bound through the tunnel)",
-        }
-    )
-    print(json.dumps(suite[-1]), flush=True)
+    def s_inference(suite):
+        inf_rates = bench_pixel_inference_only()
+        suite.append(
+            {
+                "metric": "host_pipeline_inference_only",
+                "value": round(inf_rates[4096], 1),
+                "unit": "obs/s",
+                "vs_baseline": round(inf_rates[4096] / 50000.0, 3),
+                "split_size_rate": round(inf_rates[64], 1),
+                "note": "stage 3: device-resident conv inference for the host-pixel model at batch "
+                "4096 (device ceiling) and at the pipeline's split size 64 (split_size_rate, "
+                "dispatch-latency-bound through the tunnel)",
+            }
+        )
+        print(json.dumps(suite[-1]), flush=True)
 
-    fps, n, mfu = bench_grid_battle()
-    suite.append(
-        {
-            "metric": "grid_battle_pixel_rnn_ppo",
-            "value": round(fps, 1),
-            "unit": "env_steps/s",
-            "vs_baseline": round(fps / VIZDOOM_XEON_FPS, 3),
-            **mfu,
-            "note": f"{n} on-device 24x24x3 pixel envs, IMPALA conv + GRU-256, bf16; "
-            "vs ViZDoom battle 137,131 FPS (36-core Xeon + GPUs)",
-        }
-    )
-    print(json.dumps(suite[-1]), flush=True)
+    def s_grid_battle(suite):
+        fps, n, mfu = bench_grid_battle()
+        suite.append(
+            {
+                "metric": "grid_battle_pixel_rnn_ppo",
+                "value": round(fps, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(fps / VIZDOOM_XEON_FPS, 3),
+                **mfu,
+                "note": f"{n} on-device 24x24x3 pixel envs, IMPALA conv + GRU-256, bf16, Pallas GRU "
+                "kernel; vs ViZDoom battle 137,131 FPS (36-core Xeon + GPUs)",
+            }
+        )
+        print(json.dumps(suite[-1]), flush=True)
+
+    for fn in (s_mlp, s_host_pixel, s_producer, s_transfer, s_inference, s_grid_battle):
+        _try_scenario(suite, fn)
 
     fps, n, mfu = bench_ant_physics()
     headline = {
