@@ -672,19 +672,25 @@ def main() -> int:
     for fn in (s_mlp, s_host_pixel, s_producer, s_transfer, s_inference, s_grid_battle):
         _try_scenario(suite, fn)
 
-    fps, n, mfu = bench_ant_physics()
-    headline = {
-        "metric": "ant_physics_sync_ppo",
-        "value": round(fps, 1),
-        "unit": "env_steps/s",
-        "vs_baseline": round(fps / ISAAC_ANT_FPS, 3),
-        **mfu,
-        "note": f"{n} on-device rigid-body ant envs (real dynamics, envs/builtin/ant.py) "
-        "vs IsaacGym Ant PhysX 204,651 FPS (1 GPU); MFU counts MODEL flops only — "
-        "physics flops excluded, so the chip is busier than the mfu field suggests",
-        "suite": suite + [None],  # placeholder replaced below
-    }
-    headline["suite"][-1] = {k: headline[k] for k in ("metric", "value", "unit", "vs_baseline") if k in headline}
+    try:
+        fps, n, mfu = bench_ant_physics()
+        headline = {
+            "metric": "ant_physics_sync_ppo",
+            "value": round(fps, 1),
+            "unit": "env_steps/s",
+            "vs_baseline": round(fps / ISAAC_ANT_FPS, 3),
+            **mfu,
+            "note": f"{n} on-device rigid-body ant envs (real dynamics, envs/builtin/ant.py) "
+            "vs IsaacGym Ant PhysX 204,651 FPS (1 GPU); MFU counts MODEL flops only — "
+            "physics flops excluded, so the chip is busier than the mfu field suggests",
+            "suite": suite + [None],  # placeholder replaced below
+        }
+        headline["suite"][-1] = {k: headline[k] for k in ("metric", "value", "unit", "vs_baseline") if k in headline}
+    except Exception as e:  # noqa: BLE001 - headline must still print for the driver
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        headline = {"metric": "ant_physics_sync_ppo", "error": f"{type(e).__name__}: {e}", "suite": suite}
     print(json.dumps(headline), flush=True)
     return 0
 
