@@ -361,9 +361,7 @@ def _host_pixel_child() -> int:
     runner = HostEnvRunner(cfg, register_fn=_register_bench_pixel)
     runner.init()
     runner.register_observer(Timer())
-    runner.run()
-    warm = marks[8:]  # skip compile/warmup iterations
-    fps = (warm[-1][1] - warm[0][1]) / (warm[-1][0] - warm[0][0])
+    # flops probe BEFORE run(): the sampler's shm slabs are torn down after
     fwd_flops = _fwd_flops_per_sample(
         runner.model,
         runner.train_state.params,
@@ -371,6 +369,9 @@ def _host_pixel_child() -> int:
         np.asarray(runner.sampler.rnn_states[0][:2]),
         batch=256,
     )
+    runner.run()
+    warm = marks[8:]  # skip compile/warmup iterations
+    fps = (warm[-1][1] - warm[0][1]) / (warm[-1][0] - warm[0][0])
     print(json.dumps({"host_pixel_fps": round(fps, 1), "fwd_flops_per_sample": fwd_flops}), flush=True)
     return 0
 
