@@ -98,6 +98,7 @@ def test_termination_when_fallen(env_and_step):
     assert bool(term) and not bool(trunc)
 
 
+@pytest.mark.medium
 def test_truncation_and_autoreset(env_and_step):
     env, step = env_and_step
     key = jax.random.PRNGKey(6)

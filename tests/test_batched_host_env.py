@@ -122,6 +122,7 @@ def test_envpool_facade(monkeypatch):
     assert r.shape == (4,) and term.shape == (4,)
 
 
+@pytest.mark.medium
 def test_batched_path_learns(tmp_path):
     """CartPole learning end-to-end through the batched host path with real
     worker processes (the round-1 review's done-criterion for this feature)."""

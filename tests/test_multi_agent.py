@@ -42,6 +42,7 @@ def _cfg(tmp_path, experiment, extra=None):
     return parse_custom_args(argv)
 
 
+@pytest.mark.medium
 @pytest.mark.parametrize(
     "extra",
     [["--serial_mode=True", "--async_rl=False"], ["--serial_mode=False", "--async_rl=True", "--pbt_mix_policies_in_one_env=True"]],

@@ -97,8 +97,16 @@ def register_tuple_envs():
         register_env(name, fn)
 
 
-@pytest.mark.parametrize("env_name", ["tuple_two_discrete", "tuple_mixed"])
-@pytest.mark.parametrize("batched", [True, False], ids=["batched", "non_batched"])
+@pytest.mark.parametrize(
+    "env_name,batched",
+    [
+        ("tuple_two_discrete", True),
+        ("tuple_mixed", False),
+        pytest.param("tuple_mixed", True, marks=pytest.mark.medium),
+        pytest.param("tuple_two_discrete", False, marks=pytest.mark.medium),
+    ],
+    ids=["batched-tuple_two_discrete", "non_batched-tuple_mixed", "batched-tuple_mixed", "non_batched-tuple_two_discrete"],
+)
 def test_tuple_actions_e2e(tmp_path, env_name, batched):
     from sf_examples_tpu.train_gym_env import parse_gym_args
 
