@@ -144,18 +144,30 @@ def export_tf_saved_model(cfg, batch_size: int = 1, output_path: Optional[str] =
     def infer_det(obs, rnn):
         return infer(obs, rnn, jax.random.PRNGKey(0))
 
-    try:
-        tf_fn = jax2tf.convert(infer_det, with_gradient=False, native_serialization=False)
-        serialization = "graph (tf2onnx-convertible)"
-    except Exception as e:  # noqa: BLE001 - graph serialization was removed in some jax versions
-        log.warning("jax2tf graph serialization unavailable (%s); falling back to native", e)
-        tf_fn = jax2tf.convert(infer_det, with_gradient=False)
-        serialization = "native (StableHLO-in-TF; NOT tf2onnx-convertible)"
+    # On recent jax versions `native_serialization=False` is silently ignored
+    # (DeprecationWarning only), so requesting graph serialization proves
+    # nothing.  Detect the serialization mode that was ACTUALLY used by
+    # inspecting the traced graph: native serialization shows up as an
+    # XlaCallModule op wrapping the StableHLO payload.
+    tf_fn = jax2tf.convert(infer_det, with_gradient=False, native_serialization=False)
 
     module = tf.Module()
     obs_sig = {k: tf.TensorSpec((batch_size,) + tuple(s.shape), tf.float32, name=k) for k, s in obs_spec.items()}
     rnn_sig = tf.TensorSpec(tuple(rnn_state.shape), tf.float32, name="rnn_state")
     module.infer = tf.function(tf_fn, input_signature=[obs_sig, rnn_sig], autograph=False)
+
+    concrete = module.infer.get_concrete_function(obs_sig, rnn_sig)
+    op_types = {op.type for op in concrete.graph.get_operations()}
+    if "XlaCallModule" in op_types:
+        serialization = "native (StableHLO-in-TF; NOT tf2onnx-convertible)"
+        log.warning(
+            "jax %s only supports native jax2tf serialization: the SavedModel wraps "
+            "StableHLO in an XlaCallModule op, which tf2onnx cannot convert. "
+            "Use export_onnx (direct ONNX export) or the StableHLO artifact instead.",
+            jax.__version__,
+        )
+    else:
+        serialization = "graph (tf2onnx-convertible)"
 
     output_path = output_path or join(experiment_dir(cfg), f"policy_p{cfg.policy_index}_saved_model")
     tf.saved_model.save(module, output_path, signatures={"serving_default": module.infer})

@@ -68,17 +68,19 @@ def _gru_kernel(x_ref, r_ref, h0_ref, wh_ref, bh_ref, out_ref, hfin_ref, h_scr):
 
     h = h_scr[:]
     dtype = x_ref.dtype
-    h_proj = jnp.dot(h.astype(dtype), wh_ref[:], preferred_element_type=jnp.float32) + bh_ref[0].astype(
-        jnp.float32
-    )
-    x_proj = x_ref[0].astype(jnp.float32)
+    # Gate math runs in the input dtype to match gru_seq_reference exactly
+    # (bf16 configs: same rounding per step, so the custom_vjp backward remat
+    # differentiates the same trajectory the kernel produced). f32 is kept
+    # only for the MXU accumulation and the carried state.
+    h_proj = jnp.dot(h.astype(dtype), wh_ref[:], preferred_element_type=jnp.float32).astype(dtype) + bh_ref[0]
+    x_proj = x_ref[0]
     H = h.shape[-1]
     xr, xz, xn = x_proj[:, :H], x_proj[:, H : 2 * H], x_proj[:, 2 * H :]
     hr, hz, hn = h_proj[:, :H], h_proj[:, H : 2 * H], h_proj[:, 2 * H :]
     r = jax.nn.sigmoid(xr + hr)
     z = jax.nn.sigmoid(xz + hz)
     n = jnp.tanh(xn + r * hn)
-    new_h = (1.0 - z) * n + z * h
+    new_h = ((1.0 - z) * n + z * h.astype(dtype)).astype(jnp.float32)
     out_ref[0] = new_h
     reset = r_ref[0]  # [BT, 1], broadcasts over H
     h_scr[:] = jnp.where(reset > 0, jnp.zeros_like(new_h), new_h)
@@ -214,14 +216,14 @@ def _lstm_kernel(x_ref, r_ref, hc0_ref, wh_ref, out_ref, hcfin_ref, hc_scr):
     H = wh_ref.shape[0]
     hc = hc_scr[:]
     h, c = hc[:, :H], hc[:, H:]
-    proj = x_ref[0].astype(jnp.float32) + jnp.dot(
-        h.astype(dtype), wh_ref[:], preferred_element_type=jnp.float32
-    )
+    # Input-dtype gate math, matching lstm_seq_reference (see GRU kernel note);
+    # f32 only for MXU accumulation and the carried [h, c] state.
+    proj = x_ref[0] + jnp.dot(h.astype(dtype), wh_ref[:], preferred_element_type=jnp.float32).astype(dtype)
     i, f, g, o = proj[:, :H], proj[:, H : 2 * H], proj[:, 2 * H : 3 * H], proj[:, 3 * H :]
-    new_c = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    new_c = jax.nn.sigmoid(f + 1.0) * c.astype(dtype) + jax.nn.sigmoid(i) * jnp.tanh(g)
     new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
-    out_ref[0] = new_h
-    new_hc = jnp.concatenate([new_h, new_c], axis=-1)
+    out_ref[0] = new_h.astype(jnp.float32)
+    new_hc = jnp.concatenate([new_h, new_c], axis=-1).astype(jnp.float32)
     reset = r_ref[0]  # [BT, 1]
     hc_scr[:] = jnp.where(reset > 0, jnp.zeros_like(new_hc), new_hc)
 

@@ -136,21 +136,13 @@ class HostEnvRunner(Runner):
         # dispatched into the device-idle slots between inference steps so env
         # workers never wait for training (see algo/quantized_train.py)
         self._quantizer = None
-        if cfg.async_rl and not cfg.shuffle_minibatches:
+        if cfg.async_rl:
             from sample_factory_tpu.algo.quantized_train import QuantizedTrainer
 
             self._quantizer = QuantizedTrainer(
                 cfg, self.env_info, self.model, tx, self.policy_id, num_envs=self.sampler.num_envs
             )
             self._pacer = _QuantaPacer(self._quantizer, slots=cfg.rollout * cfg.worker_num_splits)
-        elif cfg.async_rl:
-            log.warning(
-                "--async_rl=True with --shuffle_minibatches=True: the quantized overlapped "
-                "learner requires contiguous minibatches, so training falls back to the fused "
-                "(non-overlapped) train step — async snapshot semantics are kept but throughput "
-                "matches sync mode. Set --shuffle_minibatches=False to overlap training with "
-                "env stepping (see docs/performance.md)."
-            )
         log.info(
             "HostEnvRunner: %d workers x %d envs (%d total), serial=%s, async=%s",
             cfg.num_workers,
@@ -214,6 +206,12 @@ class HostEnvRunner(Runner):
                     if pending:
                         with self.timing.add_time("train_flush"):
                             self.train_state, stats = self._quantizer.flush()
+                        # epoch early-stop skipped sgd quanta: re-sync the host
+                        # version mirror with the device train_step (the one
+                        # rollout stamped before this correction reads as
+                        # negative lag, which the max_policy_lag check treats
+                        # as fresh — the safe direction)
+                        self._version_host -= self._quantizer.last_skipped_sgd_steps
                     # next rollout's behavior: the params the train step we are
                     # about to enqueue will consume — produced by the previous
                     # train step, whose quanta already ran during this rollout

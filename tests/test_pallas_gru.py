@@ -67,8 +67,11 @@ def test_gradients_match_scan():
 
 def test_supported_gate():
     assert _pick_batch_tile(512) == 512 and _pick_batch_tile(24) == 8 and _pick_batch_tile(7) == 0
-    # CPU backend in tests -> never claims support (falls back to scan)
-    assert not pallas_gru_supported(32, 512, 256)
+    # aligned shapes are supported exactly on the TPU backend (CPU falls back to scan)
+    assert pallas_gru_supported(32, 512, 256) == (jax.default_backend() == "tpu")
+    # misaligned shapes are never supported, any backend
+    assert not pallas_gru_supported(32, 7, 256)
+    assert not pallas_gru_supported(32, 512, 200)
 
 
 def test_cell_integration_cpu_falls_back():
