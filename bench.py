@@ -82,6 +82,84 @@ def _fwd_flops_per_sample(model, params, example_obs, rnn_state, batch: int = 10
         return None
 
 
+def _analytic_fwd_flops(model, params, example_obs, rnn_state):
+    """Independent cross-check of the XLA cost-analysis flop count: walk the
+    param tree and count 2*MACs for every Dense (2-D kernel) and Conv (4-D
+    kernel, output spatial dims recovered from capture_intermediates). The
+    GRU/LSTM single-step projections are 2-D kernels, so they are covered by
+    the Dense rule. Elementwise/normalization flops are deliberately excluded,
+    so analytic <= cost-analysis; a large mismatch means one of the two
+    counters is wrong (the r4 failure mode this guards against)."""
+    from collections.abc import Mapping
+
+    try:
+        obs1 = {k: v[:1] for k, v in example_obs.items()}
+        rnn1 = rnn_state[:1]
+        _, state = model.apply(params, obs1, rnn1, capture_intermediates=True, mutable=["intermediates"])
+
+        out_shapes = {}
+
+        def walk_inter(tree, path=()):
+            for k, v in tree.items():
+                if k == "__call__":
+                    first = v[0]
+                    arr = first[0] if isinstance(first, (tuple, list)) else first
+                    if hasattr(arr, "shape"):
+                        out_shapes[path] = tuple(arr.shape)
+                elif isinstance(v, Mapping):
+                    walk_inter(v, path + (k,))
+
+        walk_inter(state["intermediates"])
+
+        flops = 0.0
+
+        def walk_params(tree, path=()):
+            nonlocal flops
+            for k, v in tree.items():
+                if isinstance(v, Mapping):
+                    walk_params(v, path + (k,))
+                elif k == "kernel" and hasattr(v, "ndim"):
+                    if v.ndim == 2:
+                        flops += 2.0 * v.shape[0] * v.shape[1]
+                    elif v.ndim == 4:
+                        oshape = out_shapes.get(path)
+                        if oshape is None or len(oshape) < 4:
+                            raise ValueError(f"no intermediate output for conv at {path}")
+                        oh, ow = oshape[-3], oshape[-2]
+                        flops += 2.0 * v.shape[0] * v.shape[1] * v.shape[2] * v.shape[3] * oh * ow
+                elif k in ("wi", "wh") and hasattr(v, "ndim") and v.ndim == 2:
+                    flops += 2.0 * v.shape[0] * v.shape[1]
+
+        walk_params(params["params"] if "params" in params else params)
+        return flops
+    except Exception:  # noqa: BLE001 - cross-check is best-effort
+        return None
+
+
+def _flops_fields(model, params, example_obs, rnn_state, batch: int = 1024):
+    """Cost-analysis flops + analytic cross-check + agreement ratio."""
+    ca = _fwd_flops_per_sample(model, params, example_obs, rnn_state, batch=batch)
+    analytic = _analytic_fwd_flops(model, params, example_obs, rnn_state)
+    fields = {}
+    if ca is not None:
+        fields["fwd_flops_per_sample"] = round(ca)
+    if analytic is not None:
+        fields["fwd_flops_analytic"] = round(analytic)
+    if ca is not None and analytic is not None and analytic > 0:
+        ratio = ca / analytic
+        fields["flops_xcheck_ratio"] = round(ratio, 3)
+        # cost analysis counts elementwise ops too, so ratio slightly > 1 is
+        # expected; outside [0.9, 1.5] one of the counters is untrustworthy
+        if not (0.9 <= ratio <= 1.5):
+            fields["flops_xcheck_violation"] = True
+            print(
+                f"WARNING: flop counters disagree (cost_analysis={ca:.3e}, analytic={analytic:.3e})",
+                file=sys.stderr,
+                flush=True,
+            )
+    return ca, fields
+
+
 def _mfu_fields(fwd_flops_per_sample, fps, rollout: int, num_epochs: int):
     """MODEL-flops MFU: rollout inference (1 fwd/step) + T+1 bootstrap value
     pass (1/rollout) + training (fwd + backward ~= 2x fwd, per epoch, every
@@ -89,7 +167,12 @@ def _mfu_fields(fwd_flops_per_sample, fps, rollout: int, num_epochs: int):
     excluded (the standard model-flops convention), so this is conservative
     for physics-bearing scenarios. MFU denominator is the chip's dense bf16
     peak; f32 scenarios face a lower realistic ceiling (f32 matmuls run as
-    multi-pass bf16 on the MXU), stated in the note."""
+    multi-pass bf16 on the MXU), stated in the note.
+
+    mfu >= 1 is physically impossible: when it happens the row is flagged
+    (mfu_violation) and a warning goes to stderr — the FPS measurement or the
+    flop count is wrong and the row must not be trusted (the r4 artifact
+    shipped a 125% MFU row; this guard makes that loud)."""
     if fwd_flops_per_sample is None:
         return {}
     peak, kind = _device_peak_bf16()
@@ -101,14 +184,77 @@ def _mfu_fields(fwd_flops_per_sample, fps, rollout: int, num_epochs: int):
         "device_kind": kind,
     }
     if peak is not None:
-        out["mfu"] = round(tflops * 1e12 / peak, 5)
+        mfu = tflops * 1e12 / peak
+        out["mfu"] = round(mfu, 5)
         out["mfu_peak_tflops_bf16"] = peak / 1e12
+        if mfu >= 1.0:
+            out["mfu_violation"] = True
+            print(
+                f"WARNING: impossible MFU {mfu:.3f} (>100% of {peak/1e12:.0f} TFLOP/s bf16 peak) — "
+                "FPS measurement or flop count is wrong; do not trust this row",
+                file=sys.stderr,
+                flush=True,
+            )
     return out
 
 
-def _run_scenario(cfg, env, num_envs: int, seed: int = 0):
+def _measure_fps_windows(step_once, steps_per_iter: int, reps: int = 5, target_window_s: float = 0.75):
+    """Steady-state throughput, robust to dispatch latency and host jitter.
+
+    The r4 measurement used ONE window sized from ONE blocking iteration;
+    through the tunneled TPU that conflates per-dispatch RTT (~100 ms) with
+    per-iteration device time (<1 ms), producing tiny effective windows and
+    the +-30% scatter (41.3M / 44.4M / 60.3M for the same scenario, one of
+    them at an impossible 125% MFU). Here each rep times a pipelined window
+    of W and of 2W iterations and takes the SLOPE (t2 - t1) / W — fixed
+    costs (dispatch ramp, one RTT, block_until_ready overhead) cancel — and
+    the reported FPS is the median of `reps` slopes with the spread quoted.
+
+    step_once() must dispatch exactly one iteration asynchronously and return
+    a handle; the caller's iteration chain must be sequentially dependent so
+    blocking on the last handle proves all previous iterations completed."""
+    # pipelined calibration: 10 iterations, one block
+    t0 = time.perf_counter()
+    h = None
+    for _ in range(10):
+        h = step_once()
+    jax.block_until_ready(h)
+    per_iter = max((time.perf_counter() - t0) / 10.0, 1e-6)
+    W = int(min(600, max(10, target_window_s / per_iter)))
+
+    fps_reps = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(W):
+            h = step_once()
+        jax.block_until_ready(h)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(2 * W):
+            h = step_once()
+        jax.block_until_ready(h)
+        t2 = time.perf_counter() - t0
+        slope = (t2 - t1) / W
+        if slope <= 0:  # noise exceeded the window: fall back to the long window
+            slope = t2 / (2 * W)
+        fps_reps.append(steps_per_iter / slope)
+
+    fps_sorted = sorted(fps_reps)
+    fps = fps_sorted[len(fps_sorted) // 2]
+    spread_pct = 100.0 * (fps_sorted[-1] - fps_sorted[0]) / max(fps, 1e-9)
+    return fps, {
+        "fps_windows": [round(f, 1) for f in fps_reps],
+        "fps_spread_pct": round(spread_pct, 2),
+        "window_iters": W,
+    }
+
+
+def _run_scenario(cfg, env, num_envs: int, seed: int = 0, trace_dir=None):
     """Compile the fused train iteration for (cfg, env) and measure steady-state
-    env-steps/s over an auto-calibrated timing window."""
+    env-steps/s: median of 5 slope-based windows (see _measure_fps_windows).
+    trace_dir: optionally capture a jax.profiler trace of 10 steady-state
+    iterations there (evidence for reconciling claimed TFLOP/s against real
+    device time)."""
     from sample_factory_tpu.algo.learning import init_train_state, make_train_fn
     from sample_factory_tpu.algo.optimizers import make_optimizer
     from sample_factory_tpu.algo.sampling import init_sampler_state, make_rollout_fn
@@ -132,7 +278,7 @@ def _run_scenario(cfg, env, num_envs: int, seed: int = 0):
     rollout_fn = make_rollout_fn(cfg, env, env_info, model)
     train_fn = make_train_fn(cfg, env_info, model, tx, 0)
 
-    fwd_flops = _fwd_flops_per_sample(
+    fwd_flops, flops_fields = _flops_fields(
         model, ts.params, {k: v[:2] for k, v in ss.obs.items()}, ss.rnn_state[:2], batch=1024
     )
 
@@ -148,22 +294,29 @@ def _run_scenario(cfg, env, num_envs: int, seed: int = 0):
         ts, ss, stats = train_iteration(ts, ss, k)
     jax.block_until_ready(stats)
 
-    # calibrate the window so every scenario is timed over >= ~5 s
-    t0 = time.perf_counter()
-    key, k = jax.random.split(key)
-    ts, ss, stats = train_iteration(ts, ss, k)
-    jax.block_until_ready(stats)
-    per_iter = max(time.perf_counter() - t0, 1e-5)
-    iters = int(min(300, max(10, 5.0 / per_iter)))
+    state = {"ts": ts, "ss": ss, "key": key}
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key, k = jax.random.split(key)
-        ts, ss, stats = train_iteration(ts, ss, k)
-    jax.block_until_ready(stats)
-    elapsed = time.perf_counter() - t0
-    fps = iters * num_envs * cfg.rollout / elapsed
-    return fps, _mfu_fields(fwd_flops, fps, cfg.rollout, cfg.num_epochs)
+    def step_once():
+        state["key"], k = jax.random.split(state["key"])
+        state["ts"], state["ss"], stats = train_iteration(state["ts"], state["ss"], k)
+        return stats
+
+    fps, window_fields = _measure_fps_windows(step_once, num_envs * cfg.rollout)
+
+    if trace_dir is not None:
+        import os
+
+        os.makedirs(trace_dir, exist_ok=True)
+        jax.profiler.start_trace(trace_dir)
+        h = None
+        for _ in range(10):
+            h = step_once()
+        jax.block_until_ready(h)
+        jax.profiler.stop_trace()
+        window_fields["trace_dir"] = trace_dir
+
+    fields = {**_mfu_fields(fwd_flops, fps, cfg.rollout, cfg.num_epochs), **flops_fields, **window_fields}
+    return fps, fields
 
 
 def bench_mlp_synthetic():
@@ -256,7 +409,7 @@ def bench_grid_battle():
             "--seed=0",
         ],
     )
-    fps, mfu = _run_scenario(cfg, GridBattleEnv(), num_envs)
+    fps, mfu = _run_scenario(cfg, GridBattleEnv(), num_envs, trace_dir="/tmp/sf_bench_trace_grid_battle")
     return fps, num_envs, mfu
 
 
@@ -362,7 +515,7 @@ def _host_pixel_child() -> int:
     runner.init()
     runner.register_observer(Timer())
     # flops probe BEFORE run(): the sampler's shm slabs are torn down after
-    fwd_flops = _fwd_flops_per_sample(
+    fwd_flops, flops_fields = _flops_fields(
         runner.model,
         runner.train_state.params,
         {k: np.asarray(v[:2]) for k, v in runner.sampler._split_obs(0).items()},
@@ -372,7 +525,24 @@ def _host_pixel_child() -> int:
     runner.run()
     warm = marks[8:]  # skip compile/warmup iterations
     fps = (warm[-1][1] - warm[0][1]) / (warm[-1][0] - warm[0][0])
-    print(json.dumps({"host_pixel_fps": round(fps, 1), "fwd_flops_per_sample": fwd_flops}), flush=True)
+    # sub-window spread (8-iteration chunks) so the row quotes its own noise
+    sub = []
+    for i in range(0, len(warm) - 8, 8):
+        a, b = warm[i], warm[i + 8]
+        sub.append(round((b[1] - a[1]) / max(b[0] - a[0], 1e-9), 1))
+    spread = 100.0 * (max(sub) - min(sub)) / max(fps, 1e-9) if sub else None
+    print(
+        json.dumps(
+            {
+                "host_pixel_fps": round(fps, 1),
+                "fwd_flops_per_sample": fwd_flops,
+                "fps_windows": sub,
+                "fps_spread_pct": round(spread, 2) if spread is not None else None,
+                **flops_fields,
+            }
+        ),
+        flush=True,
+    )
     return 0
 
 
@@ -439,9 +609,10 @@ def _producer_child() -> int:
     return 0
 
 
-def _run_cpu_child(flag: str, result_key: str, extra_keys=()):
+def _run_cpu_child(flag: str, result_key: str, extra_args=()):
     """Spawn a bench scenario on the CPU backend (the tunneled-TPU device RTT
-    would swamp what these host-side metrics measure)."""
+    would swamp what these host-side metrics measure). Returns (value, rec) —
+    rec is the child's full JSON record."""
     import os
     import subprocess
 
@@ -449,7 +620,7 @@ def _run_cpu_child(flag: str, result_key: str, extra_keys=()):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=1").strip()
     out = subprocess.run(
-        [sys.executable, __file__, flag],
+        [sys.executable, __file__, flag, *extra_args],
         capture_output=True,
         text=True,
         env=env,
@@ -458,14 +629,14 @@ def _run_cpu_child(flag: str, result_key: str, extra_keys=()):
     for line in reversed(out.stdout.splitlines()):
         try:
             rec = json.loads(line)
-            return (float(rec[result_key]),) + tuple(rec.get(k) for k in extra_keys)
+            return float(rec[result_key]), rec
         except Exception:  # noqa: BLE001
             continue
     raise RuntimeError(f"bench child {flag} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
 def bench_host_pixel():
-    return _run_cpu_child("--host-pixel-child", "host_pixel_fps", ("fwd_flops_per_sample",))
+    return _run_cpu_child("--host-pixel-child", "host_pixel_fps")
 
 
 def bench_producer() -> float:
@@ -567,6 +738,13 @@ def _try_scenario(suite, fn):
 
 
 def main() -> int:
+    if "--host-pixel-child" in sys.argv or "--producer-child" in sys.argv:
+        # Force the CPU backend via jax.config, not the env var: site
+        # customization may register an accelerator plugin that overrides
+        # JAX_PLATFORMS at interpreter start, and these children measure
+        # HOST-side machinery (worker procs, slabs, local inference).
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.devices()[0].platform == "cpu", "bench child must run on the CPU backend"
     if "--host-pixel-child" in sys.argv:
         return _host_pixel_child()
     if "--producer-child" in sys.argv:
@@ -591,8 +769,9 @@ def main() -> int:
         print(json.dumps(suite[-1]), flush=True)
 
     def s_host_pixel(suite):
-        fps, fwd_flops = bench_host_pixel()
-        host_mfu = _mfu_fields(fwd_flops, fps, rollout=32, num_epochs=1)
+        fps, rec = bench_host_pixel()
+        host_mfu = _mfu_fields(rec.get("fwd_flops_per_sample"), fps, rollout=32, num_epochs=1)
+        extra = {k: rec[k] for k in ("fps_windows", "fps_spread_pct", "fwd_flops_analytic", "flops_xcheck_ratio") if rec.get(k) is not None}
         suite.append(
             {
                 "metric": "host_pixel_pipeline_appo",
@@ -600,6 +779,7 @@ def main() -> int:
                 "unit": "env_steps/s",
                 "vs_baseline": round(fps / 50000.0, 3),
                 **host_mfu,
+                **extra,
                 "note": "42x42x4 uint8 synthetic batched host env (envpool-style, zero env cost), "
                 "2 worker procs on a 2-CPU box, quantized async learner on the CPU backend; "
                 "vs ViZDoom battle 50K FPS on a 10-core i9 (feeding-machinery proxy — this "
