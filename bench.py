@@ -467,38 +467,37 @@ def _register_bench_pixel():
     register_env("bench_host_pixel", _make_bench_pixel_env)
 
 
-def _host_pixel_child() -> int:
-    """Runs in a JAX_PLATFORMS=cpu subprocess: full host pipeline (worker
-    processes + shm slabs + uint8 upload + quantized async learner)."""
+_HOST_PIXEL_BASE_ARGV = [
+    "--env=bench_host_pixel",
+    "--train_dir=/tmp/sf_tpu_bench",
+    "--restart_behavior=overwrite",
+    "--worker_num_splits=2",
+    "--rollout=32",
+    "--num_epochs=1",
+    "--async_rl=True",
+    "--use_rnn=False",
+    "--encoder_conv_architecture=convnet_simple",
+    "--encoder_conv_mlp_layers", "128",
+    "--normalize_input=True",
+    "--train_for_env_steps=999999999",
+    "--seed=0",
+    "--experiment_summaries_interval=10000",
+    "--save_every_sec=10000",
+    "--decorrelate_envs_on_one_worker=False",
+]
+
+
+def _host_pixel_measure(extra_argv, n_iters: int = 40, warmup: int = 8):
+    """Run the full host pipeline (worker processes + shm slabs + uint8 upload
+    + quantized async learner) through HostEnvRunner and measure steady-state
+    env-steps/s with 8-iteration sub-windows for the spread."""
     import numpy as np
 
     from sample_factory_tpu.cfg.arguments import parse_full_cfg, parse_sf_args
     from sample_factory_tpu.runner.host_runner import HostEnvRunner
     from sample_factory_tpu.runner.runner import AlgoObserver
 
-    argv = [
-        "--env=bench_host_pixel",
-        "--experiment=bench_host_pixel",
-        "--train_dir=/tmp/sf_tpu_bench",
-        "--restart_behavior=overwrite",
-        "--device=cpu",
-        "--num_workers=2",
-        "--num_envs_per_worker=32",
-        "--worker_num_splits=2",
-        "--rollout=32",
-        "--batch_size=1024",
-        "--num_epochs=1",
-        "--async_rl=True",
-        "--use_rnn=False",
-        "--encoder_conv_architecture=convnet_simple",
-        "--encoder_conv_mlp_layers", "128",
-        "--normalize_input=True",
-        "--train_for_env_steps=999999999",
-        "--seed=0",
-        "--experiment_summaries_interval=10000",
-        "--save_every_sec=10000",
-        "--decorrelate_envs_on_one_worker=False",
-    ]
+    argv = _HOST_PIXEL_BASE_ARGV + list(extra_argv)
     parser, _ = parse_sf_args(argv=argv)
     cfg = parse_full_cfg(parser, argv=argv)
     _register_bench_pixel()
@@ -508,7 +507,7 @@ def _host_pixel_child() -> int:
     class Timer(AlgoObserver):
         def on_training_iteration(self, runner, stats) -> None:
             marks.append((time.perf_counter(), runner.env_steps))
-            if len(marks) >= 40:
+            if len(marks) >= n_iters:
                 runner.stop()
 
     runner = HostEnvRunner(cfg, register_fn=_register_bench_pixel)
@@ -523,27 +522,53 @@ def _host_pixel_child() -> int:
         batch=256,
     )
     runner.run()
-    warm = marks[8:]  # skip compile/warmup iterations
+    warm = marks[warmup:]
     fps = (warm[-1][1] - warm[0][1]) / (warm[-1][0] - warm[0][0])
-    # sub-window spread (8-iteration chunks) so the row quotes its own noise
     sub = []
     for i in range(0, len(warm) - 8, 8):
         a, b = warm[i], warm[i + 8]
         sub.append(round((b[1] - a[1]) / max(b[0] - a[0], 1e-9), 1))
     spread = 100.0 * (max(sub) - min(sub)) / max(fps, 1e-9) if sub else None
-    print(
-        json.dumps(
-            {
-                "host_pixel_fps": round(fps, 1),
-                "fwd_flops_per_sample": fwd_flops,
-                "fps_windows": sub,
-                "fps_spread_pct": round(spread, 2) if spread is not None else None,
-                **flops_fields,
-            }
-        ),
-        flush=True,
+    return {
+        "host_pixel_fps": round(fps, 1),
+        "fwd_flops_per_sample": fwd_flops,
+        "fps_windows": sub,
+        "fps_spread_pct": round(spread, 2) if spread is not None else None,
+        **flops_fields,
+    }
+
+
+def _host_pixel_child() -> int:
+    """CPU-backend composition (forced via jax.config in main()): everything —
+    env workers, inference, learner — on the host's cores."""
+    rec = _host_pixel_measure(
+        [
+            "--experiment=bench_host_pixel",
+            "--device=cpu",
+            "--num_workers=2",
+            "--num_envs_per_worker=32",
+            "--batch_size=1024",
+        ]
     )
+    print(json.dumps(rec), flush=True)
     return 0
+
+
+def bench_host_pixel_tpu():
+    """TPU-backed composition: CPU worker processes feed the tunneled TPU,
+    which runs inference and the quantized async learner. Large splits
+    amortize the per-step action-fetch round trip (the production host-env
+    regime: the reference's equivalent is CPU envs + GPU inference workers)."""
+    return _host_pixel_measure(
+        [
+            "--experiment=bench_host_pixel_tpu",
+            "--num_workers=2",
+            "--num_envs_per_worker=1024",
+            "--batch_size=8192",
+        ],
+        n_iters=16,
+        warmup=4,
+    )
 
 
 def _producer_child() -> int:
@@ -723,6 +748,152 @@ def bench_pixel_inference_only():
     return rates
 
 
+def _scaling_child() -> int:
+    """One process of the multihost scaling proxy. argv: --scaling-child
+    <port> <process_id> <num_processes> <core>. Pinned to ONE core before jax
+    initializes so 1-process and 2-process runs get identical per-process
+    resources — the ratio then measures COORDINATION cost (globalize
+    collectives + lockstep SPMD train step), not core scarcity."""
+    import os
+
+    i = sys.argv.index("--scaling-child")
+    port, pid, nproc, core = (int(x) for x in sys.argv[i + 1 : i + 5])
+    try:
+        os.sched_setaffinity(0, {core})
+    except (AttributeError, OSError):
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    if nproc > 1:
+        jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+
+    from sample_factory_tpu.cfg.arguments import parse_full_cfg, parse_sf_args
+    from sample_factory_tpu.runner.host_runner import HostEnvRunner
+    from sample_factory_tpu.runner.runner import AlgoObserver
+
+    def register():
+        import gymnasium as gym
+        import numpy as np
+
+        from sample_factory_tpu.envs.env_utils import register_env
+
+        class ComputeEnv(gym.Env):
+            """~100 us of real numpy work per step — the env-bound host regime."""
+
+            observation_space = gym.spaces.Box(-10, 10, (32,), np.float32)
+            action_space = gym.spaces.Discrete(4)
+
+            def __init__(self):
+                self.rng = np.random.default_rng(0)
+                self.state = self.rng.normal(size=(64, 32)).astype(np.float32)
+                self.t = 0
+
+            def reset(self, seed=None, options=None):
+                if seed is not None:
+                    self.rng = np.random.default_rng(seed)
+                self.t = 0
+                return self.state[0], {}
+
+            def step(self, a):
+                self.t += 1
+                self.state = np.tanh(self.state @ self.state.T[:, :32] * 0.01)
+                return self.state[0], float(a), self.t >= 64, False, {}
+
+        register_env("bench_compute_env", lambda name, cfg, env_config, render_mode=None: ComputeEnv())
+
+    argv = [
+        "--env=bench_compute_env",
+        f"--experiment=bench_scaling_p{nproc}",
+        "--train_dir=/tmp/sf_tpu_bench",
+        "--restart_behavior=overwrite",
+        "--device=cpu",
+        "--serial_mode=True",
+        "--num_workers=2",
+        "--num_envs_per_worker=8",
+        "--worker_num_splits=2",
+        "--rollout=16",
+        "--batch_size=256",
+        "--num_epochs=1",
+        "--use_rnn=False",
+        "--encoder_mlp_layers", "64", "64",
+        "--train_for_env_steps=999999999",
+        "--async_rl=False",
+        "--seed=7",
+        "--experiment_summaries_interval=10000",
+        "--save_every_sec=10000",
+        "--decorrelate_envs_on_one_worker=False",
+    ]
+    parser, _ = parse_sf_args(argv=argv)
+    cfg = parse_full_cfg(parser, argv=argv)
+    register()
+
+    marks = []
+
+    class Timer(AlgoObserver):
+        def on_training_iteration(self, runner, stats) -> None:
+            marks.append((time.perf_counter(), runner.env_steps))
+            if len(marks) >= 20:
+                runner.stop()
+
+    runner = HostEnvRunner(cfg, register_fn=register)
+    runner.init()
+    runner.register_observer(Timer())
+    runner.run()
+    warm = marks[6:]
+    fps = (warm[-1][1] - warm[0][1]) / (warm[-1][0] - warm[0][0])  # env_steps is GLOBAL
+    print(json.dumps({"scaling_fps": round(fps, 1), "pid": pid, "nproc": nproc}), flush=True)
+    if nproc > 1:
+        jax.distributed.shutdown()
+    return 0
+
+
+def bench_scaling_proxy():
+    """Multihost weak-scaling proxy on this box (BASELINE.md north star:
+    >= 80% scaling efficiency; real multi-chip/multi-host hardware is not
+    available, so this is the honest stand-in): the 2-process jax.distributed
+    host-env pipeline (per-host samplers -> one global SPMD train step via
+    globalize_host_trajectory) vs a single process, each process pinned to
+    one core. Ideal weak scaling doubles global throughput."""
+    import os
+    import socket
+    import subprocess
+
+    def run(nproc):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2 --xla_backend_optimization_level=1"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, __file__, "--scaling-child", str(port), str(i), str(nproc), str(i)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+            )
+            for i in range(nproc)
+        ]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        fps = None
+        for out, p in zip(outs, procs):
+            if p.returncode != 0:
+                raise RuntimeError(f"scaling child failed:\n{out[-2000:]}")
+            for line in reversed(out.splitlines()):
+                try:
+                    rec = json.loads(line)
+                    if rec.get("pid") == 0:
+                        fps = rec["scaling_fps"]
+                except Exception:  # noqa: BLE001
+                    continue
+        if fps is None:
+            raise RuntimeError(f"no scaling result:\n{outs[0][-2000:]}")
+        return fps
+
+    fps1 = run(1)
+    fps2 = run(2)
+    return fps1, fps2, fps2 / (2.0 * fps1)
+
+
 def _try_scenario(suite, fn):
     """Run one non-headline scenario; on failure emit an error row instead of
     killing the whole suite (the headline must always print for the driver)."""
@@ -738,6 +909,8 @@ def _try_scenario(suite, fn):
 
 
 def main() -> int:
+    if "--scaling-child" in sys.argv:
+        return _scaling_child()
     if "--host-pixel-child" in sys.argv or "--producer-child" in sys.argv:
         # Force the CPU backend via jax.config, not the env var: site
         # customization may register an accelerator plugin that overrides
@@ -835,6 +1008,52 @@ def main() -> int:
         )
         print(json.dumps(suite[-1]), flush=True)
 
+    def s_scaling(suite):
+        fps1, fps2, eff = bench_scaling_proxy()
+        suite.append(
+            {
+                "metric": "multihost_scaling_proxy_2proc",
+                "value": round(eff, 4),
+                "unit": "weak_scaling_efficiency",
+                "vs_baseline": round(eff / 0.80, 3),
+                "fps_1proc": fps1,
+                "fps_2proc_global": fps2,
+                "note": "2-process jax.distributed host-env pipeline vs 1 process, each pinned to one "
+                "core (identical per-process resources): ratio of global throughput to 2x the "
+                "single-process run = weak-scaling efficiency of the coordination layer (globalize "
+                "collectives + lockstep SPMD train step) — the honest stand-in for BASELINE's >=80% "
+                "multi-host target on a box with no second accelerator; losses = gloo all-gathers "
+                "crossing process boundaries on CPU + the lockstep barrier",
+            }
+        )
+        print(json.dumps(suite[-1]), flush=True)
+
+    def s_host_pixel_tpu(suite):
+        if jax.default_backend() == "cpu":
+            suite.append({"metric": "host_pixel_pipeline_appo_tpu", "skipped": "no TPU backend"})
+            print(json.dumps(suite[-1]), flush=True)
+            return
+        rec = bench_host_pixel_tpu()
+        fps = rec["host_pixel_fps"]
+        host_mfu = _mfu_fields(rec.get("fwd_flops_per_sample"), fps, rollout=32, num_epochs=1)
+        extra = {k: rec[k] for k in ("fps_windows", "fps_spread_pct", "fwd_flops_analytic", "flops_xcheck_ratio") if rec.get(k) is not None}
+        suite.append(
+            {
+                "metric": "host_pixel_pipeline_appo_tpu",
+                "value": fps,
+                "unit": "env_steps/s",
+                "vs_baseline": round(fps / 50000.0, 3),
+                **host_mfu,
+                **extra,
+                "note": "TPU-backed host pipeline: 2 CPU worker procs x 1024 envs feed the tunneled "
+                "TPU (uint8 upload per split, inference + quantized async learner on device). "
+                "Split 1024 amortizes the per-step action-fetch round trip (~60-150 ms through "
+                "the tunnel); a locally-attached TPU pays PCIe latency instead. vs ViZDoom "
+                "battle 50K FPS on a 10-core i9",
+            }
+        )
+        print(json.dumps(suite[-1]), flush=True)
+
     def s_grid_battle(suite):
         fps, n, mfu = bench_grid_battle()
         suite.append(
@@ -850,7 +1069,7 @@ def main() -> int:
         )
         print(json.dumps(suite[-1]), flush=True)
 
-    for fn in (s_mlp, s_host_pixel, s_producer, s_transfer, s_inference, s_grid_battle):
+    for fn in (s_mlp, s_host_pixel, s_producer, s_transfer, s_inference, s_scaling, s_host_pixel_tpu, s_grid_battle):
         _try_scenario(suite, fn)
 
     try:

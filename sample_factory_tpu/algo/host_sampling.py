@@ -30,7 +30,19 @@ import jax.numpy as jnp
 
 from sample_factory_tpu.algo.distributions import get_action_distribution, sample_actions_log_probs
 from sample_factory_tpu.algo.running_mean_std import obs_rms_normalize
-from sample_factory_tpu.algo.sampling import _process_rewards, _static_preprocess
+from sample_factory_tpu.algo.sampling import _static_preprocess
+
+
+def _process_rewards_np(cfg, rewards: "np.ndarray") -> "np.ndarray":
+    """Reward scale/clip (reference batched_sampling.py:208-214) — NUMPY.
+
+    The host hot loop must never route a tiny array through jnp: an eager
+    JAX op + numpy readback synchronizes the host with everything queued on
+    the device FIFO (learner quanta, the previous split's inference). One
+    jnp.clip here measured 52 ms/call — 92% of the whole pipeline's time
+    (r5 profile; the root cause of the r4 ~700 steps/s composition)."""
+    rewards = rewards * cfg.reward_scale
+    return np.clip(rewards, -cfg.reward_clip, cfg.reward_clip)
 from sample_factory_tpu.envs.spaces import action_dtype, num_actions, obs_space_as_dict
 from sample_factory_tpu.models.actor_critic import initial_actor_critic_state
 from sample_factory_tpu.utils.attr_dict import AttrDict
@@ -658,7 +670,17 @@ class HostVectorSampler:
         return policy_step
 
     def _build_policy_step(self):
-        return jax.jit(self._policy_step_fn())
+        single = self._policy_step_fn()
+
+        def step(params, obs_rms, obs, rnn_state, done, key):
+            # episode-boundary RNN reset fused into the inference program: one
+            # dispatch per split instead of a separate where + small-op chain
+            # (the hot loop's per-slot host overhead, profiled r5)
+            rnn_in = jnp.where(done[:, None] > 0, jnp.zeros_like(rnn_state), rnn_state)
+            out = single(params, obs_rms, obs, rnn_in, key)
+            return out + (rnn_in,)
+
+        return jax.jit(step)
 
     def _split_obs(self, split: int) -> Dict[str, np.ndarray]:
         out = {}
@@ -750,11 +772,20 @@ class HostVectorSampler:
         self.episodic = []
         self._raw_return_sum = 0.0
         self.episodic_extras = []
+        N = self.num_envs
+        # host-side scalar streams live in preallocated numpy buffers, laid
+        # out [T, N] (env axis = split-major, matching _assemble's concat
+        # order) — uploaded as FOUR arrays at assemble time instead of
+        # 4 x T x K tiny transfers (profiled r5: per-slot small-op dispatch
+        # was a visible slice of the ~700 steps/s pipeline)
+        self._host_buf = {k: np.zeros((T, N), np.float32) for k in ("rewards", "dones", "time_outs", "active")}
+        # one batch of per-slot RNG keys per rollout (replaces a traced
+        # fold_in dispatch per (t, split))
+        slot_keys = np.asarray(jax.random.split(key, T * self.K))
 
         for t in range(T):
             for s in range(self.K):
-                self._collect_one(params, obs_rms, key, t, s, transitions, slot_policies)
-                key = jax.random.fold_in(key, t * self.K + s)
+                self._collect_one(params, obs_rms, slot_keys[t * self.K + s], t, s, transitions, slot_policies)
                 if idle_fn is not None:
                     idle_fn()
 
@@ -762,11 +793,8 @@ class HostVectorSampler:
         final_obs = []
         for s in range(self.K):
             self._wait_ready(s)
-            self._finalize_last(transitions[s], s)
-            term = self.slabs.arrays["terminated"][:, s].reshape(self.split_size)
-            trunc = self.slabs.arrays["truncated"][:, s].reshape(self.split_size)
-            done = np.logical_or(term, trunc)
-            self.rnn_states[s] = jnp.where(jnp.asarray(done)[:, None], jnp.zeros_like(self.rnn_states[s]), self.rnn_states[s])
+            done = self._finalize_last(s, T - 1)
+            self.rnn_states[s] = jnp.where(jnp.asarray(done)[:, None] > 0, jnp.zeros_like(self.rnn_states[s]), self.rnn_states[s])
             final_obs.append({k: jnp.asarray(v) for k, v in self._split_obs(s).items()})
 
         traj = self._assemble(transitions, final_obs, policy_version, policy_id, slot_policies)
@@ -779,24 +807,24 @@ class HostVectorSampler:
         }
         return traj, stats
 
-    def _collect_one(self, params, obs_rms, key, t, s, transitions, slot_policies=None):
+    def _collect_one(self, params, obs_rms, slot_key, t, s, transitions, slot_policies=None):
         if t > 0:
             # finalize previous step's transition for this split
             self._wait_ready(s)
-            self._finalize_last(transitions[s], s)
-            term = self.slabs.arrays["terminated"][:, s].reshape(self.split_size)
-            trunc = self.slabs.arrays["truncated"][:, s].reshape(self.split_size)
-            done = np.logical_or(term, trunc)
-            self.rnn_states[s] = jnp.where(jnp.asarray(done)[:, None], jnp.zeros_like(self.rnn_states[s]), self.rnn_states[s])
+            done = self._finalize_last(s, t - 1)
+        else:
+            done = self._zero_done
 
         obs_np = self._split_obs(s)
         obs_dev = {k: jnp.asarray(v) for k, v in obs_np.items()}
         rnn = self.rnn_states[s]
         if slot_policies is None:
-            actions, log_probs, action_params, values, new_rnn = self._policy_step(params, obs_rms, obs_dev, rnn, key)
+            actions, log_probs, action_params, values, new_rnn, rnn_in = self._policy_step(
+                params, obs_rms, obs_dev, rnn, done, slot_key
+            )
         else:
-            actions, log_probs, action_params, values, new_rnn = self._policy_step_multi(
-                params, obs_rms, obs_dev, rnn, jnp.asarray(slot_policies[s]), key
+            actions, log_probs, action_params, values, new_rnn, rnn_in = self._policy_step_multi(
+                params, obs_rms, obs_dev, rnn, done, jnp.asarray(slot_policies[s]), slot_key
             )
         self.rnn_states[s] = new_rnn
 
@@ -808,30 +836,36 @@ class HostVectorSampler:
         transitions[s].append(
             {
                 "obs": obs_dev,
-                "rnn_states": rnn,
+                "rnn_states": rnn_in,  # the post-reset state inference consumed
                 "actions": actions,
                 "action_logits": action_params,
                 "log_prob_actions": log_probs,
                 "values": values,
-                # filled at finalize:
-                "rewards": None,
-                "dones": None,
-                "time_outs": None,
             }
         )
 
-    def _finalize_last(self, split_transitions, s: int) -> None:
-        tr = split_transitions[-1]
-        rew = self.slabs.arrays["rewards"][:, s].reshape(self.split_size).copy()
-        term = self.slabs.arrays["terminated"][:, s].reshape(self.split_size).copy()
-        trunc = self.slabs.arrays["truncated"][:, s].reshape(self.split_size).copy()
-        active = self.slabs.arrays["active"][:, s].reshape(self.split_size).copy()
-        proc = _process_rewards(self.cfg, rew.astype(np.float32))
-        tr["rewards"] = jnp.asarray(proc)
+    @property
+    def _zero_done(self) -> np.ndarray:
+        z = getattr(self, "_zero_done_arr", None)
+        if z is None:
+            z = self._zero_done_arr = np.zeros(self.split_size, np.float32)
+        return z
+
+    def _finalize_last(self, s: int, t: int) -> np.ndarray:
+        """Read the step-t results for split s from the slabs into the host
+        buffers. Returns the done mask (float32 [split_size])."""
+        rew = self.slabs.arrays["rewards"][:, s].reshape(self.split_size)
+        term = self.slabs.arrays["terminated"][:, s].reshape(self.split_size)
+        trunc = self.slabs.arrays["truncated"][:, s].reshape(self.split_size)
+        active = self.slabs.arrays["active"][:, s].reshape(self.split_size)
         done = np.logical_or(term, trunc).astype(np.float32)
-        tr["dones"] = jnp.asarray(done)
-        tr["time_outs"] = jnp.asarray(np.logical_and(trunc, ~term).astype(np.float32))
-        tr["active"] = jnp.asarray(active)
+        lo, hi = s * self.split_size, (s + 1) * self.split_size
+        buf = self._host_buf
+        buf["rewards"][t, lo:hi] = _process_rewards_np(self.cfg, rew.astype(np.float32))
+        buf["dones"][t, lo:hi] = done
+        buf["time_outs"][t, lo:hi] = np.logical_and(trunc, ~term)
+        buf["active"][t, lo:hi] = active
+        return done
 
     def _build_policy_step_multi(self):
         """P-way forward + per-slot selection for mixed-policy sampling.
@@ -843,10 +877,11 @@ class HostVectorSampler:
         """
         single = self._policy_step_fn()
 
-        def policy_step_multi(stacked_params, stacked_obs_rms, obs, rnn_state, slot_policies, key):
+        def policy_step_multi(stacked_params, stacked_obs_rms, obs, rnn_state, done, slot_policies, key):
+            rnn_in = jnp.where(done[:, None] > 0, jnp.zeros_like(rnn_state), rnn_state)
             P = jax.tree.leaves(stacked_params)[0].shape[0]
             keys = jax.random.split(key, P)
-            outs = jax.vmap(lambda p, o, k: single(p, o, obs, rnn_state, k))(stacked_params, stacked_obs_rms, keys)
+            outs = jax.vmap(lambda p, o, k: single(p, o, obs, rnn_in, k))(stacked_params, stacked_obs_rms, keys)
 
             n = slot_policies.shape[0]
             idx = jnp.arange(n)
@@ -854,40 +889,47 @@ class HostVectorSampler:
             def select(x):  # x: [P, N, ...] -> [N, ...]
                 return x[slot_policies, idx]
 
-            return jax.tree.map(select, outs)
+            return jax.tree.map(select, outs) + (rnn_in,)
 
         return jax.jit(policy_step_multi)
 
     def _assemble(self, transitions, final_obs, policy_version, policy_id, slot_policies=None):
-        """Stack [T] x K splits -> trajectory [T, N] matching the device sampler schema."""
-        cfg = self.cfg
-        T = cfg.rollout
+        """Stack [T] x K splits -> trajectory [T, N] matching the device sampler
+        schema — as ONE jitted program (the eager concat/stack loops were
+        ~5000 small dispatches per rollout, a measurable slice of the host
+        pipeline's cost; the jitted version is a single dispatch whose trace
+        is cached across rollouts)."""
+        T = self.cfg.rollout
+        if not hasattr(self, "_assemble_jit"):
 
-        def stack_key(key_fn):
-            # concat splits along env axis, stack time
-            per_t = []
-            for t in range(T):
-                parts = [key_fn(transitions[s][t]) for s in range(self.K)]
-                per_t.append(jnp.concatenate(parts, axis=0) if self.K > 1 else parts[0])
-            return jnp.stack(per_t, axis=0)
+            def assemble(trans, fin_obs, fin_rnn, host_buf):
+                def cat(parts):
+                    return jnp.concatenate(parts, axis=0) if self.K > 1 else parts[0]
 
-        traj = {}
-        obs_keys = transitions[0][0]["obs"].keys()
-        obs_stacked = {k: stack_key(lambda tr, kk=k: tr["obs"][kk]) for k in obs_keys}
-        final = {
-            k: (jnp.concatenate([final_obs[s][k] for s in range(self.K)], axis=0) if self.K > 1 else final_obs[0][k])
-            for k in obs_keys
-        }
-        traj["obs"] = {k: jnp.concatenate([obs_stacked[k], final[k][None]], axis=0) for k in obs_keys}
+                def stack_key(key_fn):
+                    return jnp.stack([cat([key_fn(trans[s][t]) for s in range(self.K)]) for t in range(T)], axis=0)
 
-        rnn_stacked = stack_key(lambda tr: tr["rnn_states"])
-        final_rnn = jnp.concatenate(self.rnn_states, axis=0) if self.K > 1 else self.rnn_states[0]
-        traj["rnn_states"] = jnp.concatenate([rnn_stacked, final_rnn[None]], axis=0)
+                traj = {}
+                obs_keys = trans[0][0]["obs"].keys()
+                final = {k: cat([fin_obs[s][k] for s in range(self.K)]) for k in obs_keys}
+                traj["obs"] = {
+                    k: jnp.concatenate([stack_key(lambda tr, kk=k: tr["obs"][kk]), final[k][None]], axis=0)
+                    for k in obs_keys
+                }
+                rnn_stacked = stack_key(lambda tr: tr["rnn_states"])
+                traj["rnn_states"] = jnp.concatenate([rnn_stacked, cat(list(fin_rnn))[None]], axis=0)
+                for k in ("actions", "action_logits", "log_prob_actions", "values"):
+                    traj[k] = stack_key(lambda tr, kk=k: tr[kk])
+                for k in ("rewards", "dones", "time_outs"):
+                    traj[k] = host_buf[k]
+                traj["active"] = host_buf["active"] > 0
+                return traj
 
-        for k in ("actions", "action_logits", "log_prob_actions", "values", "rewards", "dones", "time_outs"):
-            traj[k] = stack_key(lambda tr, kk=k: tr[kk])
+            self._assemble_jit = jax.jit(assemble)
 
-        active = stack_key(lambda tr: tr["active"])  # [T, N] bool
+        trans = tuple(tuple(ts) for ts in transitions)
+        traj = self._assemble_jit(trans, tuple(final_obs), tuple(self.rnn_states), self._host_buf)
+        active = traj.pop("active")  # [T, N] bool
         shape = traj["rewards"].shape
         if slot_policies is None:
             pid = jnp.full(shape, policy_id, jnp.int32)

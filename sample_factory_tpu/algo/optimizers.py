@@ -76,6 +76,34 @@ def scale_by_lamb_trust(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class LookaheadState(NamedTuple):
+    count: jnp.ndarray
+    slow: optax.Params
+
+
+def lookahead(k: int = 10, alpha: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead (Zhang et al. 2019) as a terminal transform — reference
+    `algo/utils/optimizers.py` Lamb(use_look_ahead=True, look_ahead_alpha=0.5,
+    look_ahead_k=10): after every k-th update, slow <- (1-alpha)*slow +
+    alpha*fast and the fast weights snap back to slow (the reference's step
+    counter starts at 0, so the first update also syncs). Must be placed
+    AFTER scale_by_learning_rate: it transforms FINAL updates using the
+    incoming params."""
+
+    def init_fn(params):
+        return LookaheadState(count=jnp.zeros((), jnp.int32), slow=jax.tree.map(jnp.asarray, params))
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, "lookahead requires params"
+        sync = (state.count % k) == 0
+        fast = jax.tree.map(lambda p, u: p + u, params, updates)
+        new_slow = jax.tree.map(lambda s, f: jnp.where(sync, (1.0 - alpha) * s + alpha * f, s), state.slow, fast)
+        out = jax.tree.map(lambda f, s, p: jnp.where(sync, s, f) - p, fast, new_slow, params)
+        return out, LookaheadState(count=state.count + 1, slow=new_slow)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg) -> optax.GradientTransformation:
     """Build the optimizer chain: grad clip -> adam/lamb -> dynamic LR.
 
@@ -95,6 +123,8 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
         else:
             raise ValueError(f"Unknown optimizer {cfg.optimizer}")
         parts.append(optax.scale_by_learning_rate(learning_rate))  # scale(-lr)
+        if cfg.optimizer == "lamb" and getattr(cfg, "lamb_lookahead", False):
+            parts.append(lookahead(k=cfg.lamb_lookahead_k, alpha=cfg.lamb_lookahead_alpha))
         return optax.chain(*parts)
 
     return optax.inject_hyperparams(build)(learning_rate=cfg.learning_rate)

@@ -144,6 +144,15 @@ def add_rl_args(p: ArgumentParser) -> None:
     p.add_argument("--adam_eps", default=1e-6, type=float, help="Adam epsilon")
     p.add_argument("--adam_beta1", default=0.9, type=float, help="Adam beta1")
     p.add_argument("--adam_beta2", default=0.999, type=float, help="Adam beta2")
+    p.add_argument(
+        "--lamb_lookahead",
+        default=False,
+        type=str2bool,
+        help="LAMB only: wrap the update in Lookahead (slow weights synced every k steps; "
+        "reference optimizers.py Lamb use_look_ahead)",
+    )
+    p.add_argument("--lamb_lookahead_alpha", default=0.5, type=float, help="Lookahead interpolation factor")
+    p.add_argument("--lamb_lookahead_k", default=10, type=int, help="Lookahead sync period (updates)")
     p.add_argument("--max_grad_norm", default=4.0, type=float, help="Global grad-norm clip; 0 disables")
 
     # learning rate
