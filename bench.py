@@ -558,8 +558,17 @@ def bench_host_pixel_tpu():
     """TPU-backed composition: CPU worker processes feed the tunneled TPU,
     which runs inference and the quantized async learner. Large splits
     amortize the per-step action-fetch round trip (the production host-env
-    regime: the reference's equivalent is CPU envs + GPU inference workers)."""
-    return _host_pixel_measure(
+    regime: the reference's equivalent is CPU envs + GPU inference workers).
+
+    On a TUNNELED TPU this pipeline is obs-upload-bandwidth-bound: every env
+    step ships 42*42*4 uint8 = 7056 B through the tunnel, so the ceiling is
+    bandwidth / 7056. The row carries an inline bandwidth probe +
+    upload_bound_ceiling so the measured FPS is checkable against the
+    physical limit (a locally-attached TPU pays PCIe bandwidth instead and
+    the producer/inference ceilings take over)."""
+    import numpy as np
+
+    rec = _host_pixel_measure(
         [
             "--experiment=bench_host_pixel_tpu",
             "--num_workers=2",
@@ -569,6 +578,18 @@ def bench_host_pixel_tpu():
         n_iters=16,
         warmup=4,
     )
+    # inline upload-bandwidth probe (split-sized transfer, blocking)
+    dev = jax.devices()[0]
+    split = np.random.default_rng(0).integers(0, 255, (1024, 42, 42, 4), np.uint8)
+    jax.device_put(split, dev).block_until_ready()
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        jax.device_put(split, dev).block_until_ready()
+    bw = n * split.nbytes / (time.perf_counter() - t0)
+    rec["upload_bandwidth_mb_s"] = round(bw / 1e6, 1)
+    rec["upload_bound_ceiling_steps_s"] = round(bw / 7056.0, 1)
+    return rec
 
 
 def _producer_child() -> int:
@@ -1036,7 +1057,18 @@ def main() -> int:
         rec = bench_host_pixel_tpu()
         fps = rec["host_pixel_fps"]
         host_mfu = _mfu_fields(rec.get("fwd_flops_per_sample"), fps, rollout=32, num_epochs=1)
-        extra = {k: rec[k] for k in ("fps_windows", "fps_spread_pct", "fwd_flops_analytic", "flops_xcheck_ratio") if rec.get(k) is not None}
+        extra = {
+            k: rec[k]
+            for k in (
+                "fps_windows",
+                "fps_spread_pct",
+                "fwd_flops_analytic",
+                "flops_xcheck_ratio",
+                "upload_bandwidth_mb_s",
+                "upload_bound_ceiling_steps_s",
+            )
+            if rec.get(k) is not None
+        }
         suite.append(
             {
                 "metric": "host_pixel_pipeline_appo_tpu",
@@ -1047,8 +1079,10 @@ def main() -> int:
                 **extra,
                 "note": "TPU-backed host pipeline: 2 CPU worker procs x 1024 envs feed the tunneled "
                 "TPU (uint8 upload per split, inference + quantized async learner on device). "
-                "Split 1024 amortizes the per-step action-fetch round trip (~60-150 ms through "
-                "the tunnel); a locally-attached TPU pays PCIe latency instead. vs ViZDoom "
+                "Through the tunnel this is obs-upload-BANDWIDTH-bound: compare value against "
+                "upload_bound_ceiling_steps_s (= measured tunnel MB/s / 7056 B per obs). A "
+                "locally-attached TPU pays PCIe bandwidth (GB/s) instead, where the producer "
+                "and device-inference ceilings (see host_pipeline_* rows) take over. vs ViZDoom "
                 "battle 50K FPS on a 10-core i9",
             }
         )

@@ -39,7 +39,10 @@ def build_inference_fn(cfg, env_info, model, ts, deterministic: bool = True):
     def infer(obs, rnn_state, key):
         normalized = obs_rms_normalize(obs_rms, _static_preprocess(cfg, obs)) if obs_rms is not None else _static_preprocess(cfg, obs)
         action_params, values, new_rnn = model.apply(params, normalized, rnn_state)
-        dist = get_action_distribution(env_info.action_space, action_params)
+        # action_mask rides in the raw obs dict (same contract as the sampler's
+        # policy_step) — caught by the ONNX parity test: dropping it here made
+        # exported/eval policies pick masked actions
+        dist = get_action_distribution(env_info.action_space, action_params, obs.get("action_mask"))
         if deterministic:
             actions = argmax_actions(dist)
         else:
@@ -191,6 +194,13 @@ def main() -> int:
 
     parser, _ = parse_sf_args(argv=rest, evaluation=True)
     cfg = parse_full_cfg(parser, argv=rest)
+    from sample_factory_tpu.algo.context import global_env_registry
+
+    if cfg.env not in global_env_registry():
+        # plain gymnasium id convenience, same as the enjoy CLI
+        from sf_examples_tpu.train_gym_env import register_gym_env
+
+        register_gym_env(cfg.env)
     if known.export_format == "saved_model":
         export_tf_saved_model(cfg, known.export_batch_size, known.export_output)
     else:
