@@ -118,6 +118,10 @@ class VizdoomEnv(gym.Env if gym else object):
         self.initialized = False
         self.skip_frames = skip_frames
         self.async_mode = async_mode
+        # engine interaction mode: "player" (policy acts), "human" (keyboard
+        # spectator input, reference wrappers/step_human_input.py), "replay"
+        # (.lmp demo playback, reference doom_play_demo.py)
+        self.mode = "player"
         self.record_to = record_to
         self.render_mode = render_mode
         self.is_multiplayer = False
@@ -163,9 +167,27 @@ class VizdoomEnv(gym.Env if gym else object):
         game.load_config(self.config_path)
         game.set_screen_resolution(self.screen_resolution)
         game.set_seed(self.curr_seed)
-        game.set_window_visible(False)
-        game.set_mode(vizdoom.Mode.ASYNC_PLAYER if self.async_mode else vizdoom.Mode.PLAYER)
+        if self.mode == "human":
+            game.set_window_visible(True)
+            game.set_mode(vizdoom.Mode.ASYNC_SPECTATOR)
+        elif self.mode == "replay":
+            game.set_window_visible(False)
+            game.set_mode(vizdoom.Mode.PLAYER)
+        else:
+            game.set_window_visible(False)
+            game.set_mode(vizdoom.Mode.ASYNC_PLAYER if self.async_mode else vizdoom.Mode.PLAYER)
         return game
+
+    def advance_human_or_replay(self):
+        """One engine tic driven by recorded/keyboard input instead of the
+        policy (human + replay modes). Returns (obs, reward, terminated)."""
+        self._ensure_initialized()
+        self.game.advance_action()
+        state = self.game.get_state()
+        reward = self.game.get_last_reward()
+        terminated = self.game.is_episode_finished()
+        obs = self._screen(state) if not terminated else self._black_screen()
+        return obs, reward, terminated
 
     def _game_init(self):
         with _InitLock():

@@ -136,8 +136,12 @@ def test_async_overlaps_training_with_env_stepping(tmp_path):
     )
 
     # policy-lag accounting: trajectories were collected with a stale snapshot
-    # and stamped accordingly (valids/max_policy_lag machinery sees real lag)
+    # and stamped accordingly (valids/max_policy_lag machinery sees real lag).
+    # Compare against the sgd steps that actually executed — epoch early-stop
+    # (r5) may legitimately drop quanta of a plateaued train step.
     import jax
 
     stats = jax.device_get(async_runner._last_stats)
-    assert float(stats["version_diff_max"]) >= async_runner._quantizer.sgd_steps_per_train
+    executed = async_runner._quantizer.last_sgd_steps_executed
+    assert executed >= 2 * async_runner._quantizer.num_minibatches  # first two epochs always run
+    assert float(stats["version_diff_max"]) >= executed

@@ -332,3 +332,65 @@ def test_parse_vizdoom_cfg():
     assert cfg.env_frameskip == 4
     assert cfg.res_w == 128 and cfg.res_h == 72
     assert cfg.num_bots == -1
+
+
+# ------------------------------------------------- periphery (render / play)
+
+
+def test_tile_grid_layout():
+    from sf_examples_tpu.vizdoom.doom.doom_render import as_hwc, tile_grid
+
+    frames = [np.full((8, 10, 3), i, np.uint8) for i in range(5)]
+    grid = tile_grid(frames, max_cols=3)
+    # 5 frames -> 2 rows x 3 cols with one black pad
+    assert grid.shape == (16, 30, 3)
+    assert grid[0, 0, 0] == 0 and grid[0, 10, 0] == 1 and grid[0, 20, 0] == 2
+    assert grid[8, 0, 0] == 3 and grid[8, 10, 0] == 4
+    assert np.all(grid[8:, 20:] == 0)  # pad slot is black
+
+    chw = np.arange(2 * 4 * 6, dtype=np.uint8).reshape(2, 4, 6)
+    assert as_hwc(chw).shape == (4, 6, 2)
+    hwc = np.zeros((4, 6, 3), np.uint8)
+    assert as_hwc(hwc).shape == (4, 6, 3)
+
+
+def test_step_human_input_advances_engine():
+    """StepHumanInput ignores policy actions and drives the env through the
+    engine's human/spectator interface (advance_human_or_replay)."""
+    from sf_examples_tpu.vizdoom.doom.human_play import StepHumanInput
+
+    class FakeHumanDoom(gym.Env):
+        observation_space = Box(0, 255, (8, 8, 3), dtype=np.uint8)
+        action_space = Discrete(4)
+
+        def __init__(self):
+            self.mode = "player"
+            self.initialized = False
+            self.advanced = 0
+            self.closed = 0
+
+        def _ensure_initialized(self):
+            self.initialized = True
+
+        def close(self):
+            self.closed += 1
+
+        def reset(self, *, seed=None, options=None):
+            return np.zeros((8, 8, 3), np.uint8), {}
+
+        def advance_human_or_replay(self):
+            self.advanced += 1
+            return np.zeros((8, 8, 3), np.uint8), 1.5, self.advanced >= 3
+
+        def step(self, action):  # pragma: no cover - must NOT be called
+            raise AssertionError("policy step() must not drive human mode")
+
+    env = FakeHumanDoom()
+    wrapped = StepHumanInput(env)
+    wrapped.reset()
+    assert env.mode == "human" and env.initialized
+    done, total = False, 0.0
+    while not done:
+        _o, r, done, _t, _i = wrapped.step(0)
+        total += r
+    assert env.advanced == 3 and total == pytest.approx(4.5)
