@@ -198,27 +198,51 @@ def _mfu_fields(fwd_flops_per_sample, fps, rollout: int, num_epochs: int):
     return out
 
 
+def _fetch_barrier(h):
+    """Force REAL completion of all work enqueued before `h`.
+
+    jax.block_until_ready is NOT a completion barrier through the tunneled
+    TPU plugin: in some tunnel states it returns once the buffer is
+    scheduled, so a timing loop that "blocks" on the last handle measures
+    DISPATCH throughput — this round it reported the grid_battle program at
+    an impossible 109% MFU while an actual value fetch showed a 3000-deep
+    execution backlog (and it explains r4's shipped 125%-MFU row). A
+    device_get round-trips a real value, which cannot happen before every
+    previously enqueued program has executed (single-device FIFO)."""
+    import numpy as np
+
+    leaf = jax.tree.leaves(h)[0]
+    if getattr(leaf, "size", 1) > 1:
+        # fetch ONE element, not the buffer: the slice is a program enqueued
+        # after everything else, so its value round-trip proves completion
+        leaf = leaf.ravel()[:1]
+    np.asarray(jax.device_get(leaf))
+    return h
+
+
 def _measure_fps_windows(step_once, steps_per_iter: int, reps: int = 5, target_window_s: float = 0.75):
     """Steady-state throughput, robust to dispatch latency and host jitter.
 
     The r4 measurement used ONE window sized from ONE blocking iteration;
-    through the tunneled TPU that conflates per-dispatch RTT (~100 ms) with
-    per-iteration device time (<1 ms), producing tiny effective windows and
-    the +-30% scatter (41.3M / 44.4M / 60.3M for the same scenario, one of
-    them at an impossible 125% MFU). Here each rep times a pipelined window
-    of W and of 2W iterations and takes the SLOPE (t2 - t1) / W — fixed
-    costs (dispatch ramp, one RTT, block_until_ready overhead) cancel — and
-    the reported FPS is the median of `reps` slopes with the spread quoted.
+    through the tunneled TPU that conflates per-dispatch RTT with
+    per-iteration device time, producing the +-30% scatter (41.3M / 44.4M /
+    60.3M for the same scenario) — and it used block_until_ready, which the
+    tunnel treats as a scheduling (not completion) barrier, inflating FPS
+    past 100% MFU (see _fetch_barrier). Here each rep times a pipelined
+    window of W and of 2W iterations, each terminated by a REAL value fetch,
+    and takes the SLOPE (t2 - t1) / W — fixed costs (dispatch ramp, one RTT,
+    fetch overhead) cancel — and the reported FPS is the median of `reps`
+    slopes with the spread quoted.
 
     step_once() must dispatch exactly one iteration asynchronously and return
-    a handle; the caller's iteration chain must be sequentially dependent so
-    blocking on the last handle proves all previous iterations completed."""
-    # pipelined calibration: 10 iterations, one block
+    a handle; the device executes programs in FIFO order, so fetching a value
+    of the last iteration proves all previous iterations completed."""
+    # pipelined calibration: 10 iterations, one real fetch
     t0 = time.perf_counter()
     h = None
     for _ in range(10):
         h = step_once()
-    jax.block_until_ready(h)
+    _fetch_barrier(h)
     per_iter = max((time.perf_counter() - t0) / 10.0, 1e-6)
     W = int(min(600, max(10, target_window_s / per_iter)))
 
@@ -227,12 +251,12 @@ def _measure_fps_windows(step_once, steps_per_iter: int, reps: int = 5, target_w
         t0 = time.perf_counter()
         for _ in range(W):
             h = step_once()
-        jax.block_until_ready(h)
+        _fetch_barrier(h)
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(2 * W):
             h = step_once()
-        jax.block_until_ready(h)
+        _fetch_barrier(h)
         t2 = time.perf_counter() - t0
         slope = (t2 - t1) / W
         if slope <= 0:  # noise exceeded the window: fall back to the long window
@@ -292,7 +316,7 @@ def _run_scenario(cfg, env, num_envs: int, seed: int = 0, trace_dir=None):
     for _ in range(3):
         key, k = jax.random.split(key)
         ts, ss, stats = train_iteration(ts, ss, k)
-    jax.block_until_ready(stats)
+    _fetch_barrier(stats)
 
     state = {"ts": ts, "ss": ss, "key": key}
 
@@ -311,7 +335,7 @@ def _run_scenario(cfg, env, num_envs: int, seed: int = 0, trace_dir=None):
         h = None
         for _ in range(10):
             h = step_once()
-        jax.block_until_ready(h)
+        _fetch_barrier(h)
         jax.profiler.stop_trace()
         window_fields["trace_dir"] = trace_dir
 
@@ -578,14 +602,15 @@ def bench_host_pixel_tpu():
         n_iters=16,
         warmup=4,
     )
-    # inline upload-bandwidth probe (split-sized transfer, blocking)
+    # inline upload-bandwidth probe (split-sized transfer, fetch-confirmed)
     dev = jax.devices()[0]
     split = np.random.default_rng(0).integers(0, 255, (1024, 42, 42, 4), np.uint8)
-    jax.device_put(split, dev).block_until_ready()
+    _fetch_barrier(jax.device_put(split, dev))
     t0 = time.perf_counter()
     n = 3
     for _ in range(n):
-        jax.device_put(split, dev).block_until_ready()
+        h = jax.device_put(split, dev)
+    _fetch_barrier(h)
     bw = n * split.nbytes / (time.perf_counter() - t0)
     rec["upload_bandwidth_mb_s"] = round(bw / 1e6, 1)
     rec["upload_bound_ceiling_steps_s"] = round(bw / 7056.0, 1)
@@ -698,22 +723,26 @@ def bench_device_transfer():
     (b) bulk 64 MB transfers: the bandwidth ceiling pipelining can reach."""
     import numpy as np
 
+    # block_until_ready is not a completion barrier through the tunnel (see
+    # _fetch_barrier): every transfer is confirmed by fetching a byte back
     dev = jax.devices()[0]
     split = np.random.default_rng(0).integers(0, 255, (64, 42, 42, 4), np.uint8)
     for _ in range(3):
-        jax.device_put(split, dev).block_until_ready()
-    n = 50
+        _fetch_barrier(jax.device_put(split, dev))
+    n = 20
     t0 = time.perf_counter()
     for _ in range(n):
-        jax.device_put(split, dev).block_until_ready()
+        h = jax.device_put(split, dev)
+    _fetch_barrier(h)
     split_obs_rate = n * split.shape[0] / (time.perf_counter() - t0)
 
     big = np.random.default_rng(1).integers(0, 255, (64 << 20,), np.uint8)
-    jax.device_put(big, dev).block_until_ready()
-    m = 8
+    _fetch_barrier(jax.device_put(big, dev))
+    m = 3
     t0 = time.perf_counter()
     for _ in range(m):
-        jax.device_put(big, dev).block_until_ready()
+        h = jax.device_put(big, dev)
+    _fetch_barrier(h)
     bulk_gbps = m * big.nbytes / (time.perf_counter() - t0) / 1e9
     return split_obs_rate, bulk_gbps
 
@@ -759,12 +788,12 @@ def bench_pixel_inference_only():
             return model.apply(p, scaled, r)
 
         out = fwd(params, {"obs": obs}, rnn)
-        jax.block_until_ready(out)
+        _fetch_barrier(out)
         t0 = time.perf_counter()
         n = 100
         for _ in range(n):
             out = fwd(params, {"obs": obs}, rnn)
-        jax.block_until_ready(out)
+        _fetch_barrier(out)  # real completion (device FIFO), not just scheduling
         rates[batch] = n * batch / (time.perf_counter() - t0)
     return rates
 
@@ -821,6 +850,9 @@ def _scaling_child() -> int:
 
         register_env("bench_compute_env", lambda name, cfg, env_config, render_mode=None: ComputeEnv())
 
+    # production-shaped iterations (~0.5 s of real work): weak scaling with
+    # tiny iterations would only measure the fixed per-iteration lockstep
+    # skew of two oversubscribed processes, not the coordination layer
     argv = [
         "--env=bench_compute_env",
         f"--experiment=bench_scaling_p{nproc}",
@@ -829,13 +861,13 @@ def _scaling_child() -> int:
         "--device=cpu",
         "--serial_mode=True",
         "--num_workers=2",
-        "--num_envs_per_worker=8",
+        "--num_envs_per_worker=32",
         "--worker_num_splits=2",
-        "--rollout=16",
-        "--batch_size=256",
+        "--rollout=32",
+        "--batch_size=1024",
         "--num_epochs=1",
         "--use_rnn=False",
-        "--encoder_mlp_layers", "64", "64",
+        "--encoder_mlp_layers", "128", "128",
         "--train_for_env_steps=999999999",
         "--async_rl=False",
         "--seed=7",

@@ -38,7 +38,10 @@ import jax.numpy as jnp
 
 
 def gru_seq_reference(x_proj, h0, resets, wh, bh):
-    """lax.scan reference — the exact math of FusedGRUCell's seq branch."""
+    """lax.scan reference — the exact math of FusedGRUCell's seq branch.
+    Uses the same explicit-sigmoid formulation as the Pallas kernel so the
+    custom_vjp backward rematerializes the same bf16 trajectory the kernel
+    produced (jax.nn.sigmoid and the manual form round differently in bf16)."""
     dtype = x_proj.dtype
 
     def step(carry, inp):
@@ -46,15 +49,24 @@ def gru_seq_reference(x_proj, h0, resets, wh, bh):
         h_proj = carry.astype(dtype) @ wh + bh
         xr, xz, xn = jnp.split(x_p, 3, axis=-1)
         hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
+        r = _kernel_sigmoid(xr + hr)
+        z = _kernel_sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
-        new_h = ((1.0 - z) * n + z * carry.astype(dtype)).astype(jnp.float32)
+        one = jnp.asarray(1.0, dtype)
+        new_h = ((one - z) * n + z * carry.astype(dtype)).astype(jnp.float32)
         carried = jnp.where(reset[:, None] > 0, jnp.zeros_like(new_h), new_h)
         return carried, new_h
 
     h_final, outs = jax.lax.scan(step, h0, (x_proj, resets))
     return outs, h_final
+
+
+def _kernel_sigmoid(x):
+    """Mosaic-safe sigmoid: jax.nn.sigmoid lowers an f32 scalar broadcast
+    into bf16 vectors, which Mosaic rejects ('vector.broadcast' element-type
+    verification); explicit dtype-matched constants avoid it."""
+    one = jnp.asarray(1.0, x.dtype)
+    return one / (one + jnp.exp(-x))
 
 
 def _gru_kernel(x_ref, r_ref, h0_ref, wh_ref, bh_ref, out_ref, hfin_ref, h_scr):
@@ -77,10 +89,11 @@ def _gru_kernel(x_ref, r_ref, h0_ref, wh_ref, bh_ref, out_ref, hfin_ref, h_scr):
     H = h.shape[-1]
     xr, xz, xn = x_proj[:, :H], x_proj[:, H : 2 * H], x_proj[:, 2 * H :]
     hr, hz, hn = h_proj[:, :H], h_proj[:, H : 2 * H], h_proj[:, 2 * H :]
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
+    r = _kernel_sigmoid(xr + hr)
+    z = _kernel_sigmoid(xz + hz)
     n = jnp.tanh(xn + r * hn)
-    new_h = ((1.0 - z) * n + z * h.astype(dtype)).astype(jnp.float32)
+    one = jnp.asarray(1.0, dtype)
+    new_h = ((one - z) * n + z * h.astype(dtype)).astype(jnp.float32)
     out_ref[0] = new_h
     reset = r_ref[0]  # [BT, 1], broadcasts over H
     h_scr[:] = jnp.where(reset > 0, jnp.zeros_like(new_h), new_h)
@@ -193,8 +206,9 @@ def lstm_seq_reference(x_proj, hc0, resets, wh, wh_dtype_matmul=True):
         h, c = carry[:, :H], carry[:, H:]
         proj = x_p + h.astype(dtype) @ wh
         i, f, g, o = jnp.split(proj, 4, axis=-1)
-        new_c = jax.nn.sigmoid(f + 1.0) * c.astype(dtype) + jax.nn.sigmoid(i) * jnp.tanh(g)
-        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        one = jnp.asarray(1.0, dtype)
+        new_c = _kernel_sigmoid(f + one) * c.astype(dtype) + _kernel_sigmoid(i) * jnp.tanh(g)
+        new_h = _kernel_sigmoid(o) * jnp.tanh(new_c)
         new_hc = jnp.concatenate([new_h, new_c], axis=-1).astype(jnp.float32)
         carried = jnp.where(reset[:, None] > 0, jnp.zeros_like(new_hc), new_hc)
         return carried, new_h.astype(jnp.float32)
@@ -220,8 +234,9 @@ def _lstm_kernel(x_ref, r_ref, hc0_ref, wh_ref, out_ref, hcfin_ref, hc_scr):
     # f32 only for MXU accumulation and the carried [h, c] state.
     proj = x_ref[0] + jnp.dot(h.astype(dtype), wh_ref[:], preferred_element_type=jnp.float32).astype(dtype)
     i, f, g, o = proj[:, :H], proj[:, H : 2 * H], proj[:, 2 * H : 3 * H], proj[:, 3 * H :]
-    new_c = jax.nn.sigmoid(f + 1.0) * c.astype(dtype) + jax.nn.sigmoid(i) * jnp.tanh(g)
-    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    one = jnp.asarray(1.0, dtype)
+    new_c = _kernel_sigmoid(f + one) * c.astype(dtype) + _kernel_sigmoid(i) * jnp.tanh(g)
+    new_h = _kernel_sigmoid(o) * jnp.tanh(new_c)
     out_ref[0] = new_h.astype(jnp.float32)
     new_hc = jnp.concatenate([new_h, new_c], axis=-1).astype(jnp.float32)
     reset = r_ref[0]  # [BT, 1]
