@@ -27,8 +27,14 @@ through the mathematically-identical lax.scan reference implementation
 (recompute-in-backward, the standard trade for sequence kernels; the scan
 backward is XLA-autodiff'd and already well-fused).
 
-Used by FusedGRUCell when `pallas_gru_supported()` (TPU backend, aligned
-shapes); lax.scan otherwise. Disable with --pallas_rnn=False.
+Used by FusedGRUCell when `--pallas_rnn=True` AND `pallas_gru_supported()`
+(TPU backend, aligned shapes); lax.scan otherwise. OFF by default since r5:
+with honest fetch-barrier timing (bench.py `_fetch_barrier`; the earlier
+"+12% e2e / 1.29x kernel" numbers were dispatch-rate artifacts of the
+tunnel's non-blocking block_until_ready), the XLA scan formulation measures
+FASTER on v5e for the tested shapes (32x512x256: scan 362 us vs kernel
+499 us; grid_battle e2e 1.675M vs 1.629M steps/s). The kernel is kept as an
+experimentation surface — docs/evidence/bench_r5_honest.
 """
 
 from __future__ import annotations

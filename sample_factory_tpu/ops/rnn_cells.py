@@ -69,7 +69,7 @@ class FusedGRUCell(nn.Module):
 
         from sample_factory_tpu.ops.pallas_gru import pallas_gru_seq, pallas_gru_supported
 
-        want_pallas = self.cfg is None or bool(getattr(self.cfg, "pallas_rnn", True))
+        want_pallas = self.cfg is not None and bool(getattr(self.cfg, "pallas_rnn", False))
         if want_pallas and pallas_gru_supported(x.shape[0], x.shape[1], self.features, dtype):
             # Pallas kernel: recurrent weights + hidden state stay VMEM-resident
             # for the whole sequence; backward rematerializes via the scan below
@@ -125,7 +125,7 @@ class FusedLSTMCell(nn.Module):
 
         from sample_factory_tpu.ops.pallas_gru import pallas_gru_supported, pallas_lstm_seq
 
-        want_pallas = self.cfg is None or bool(getattr(self.cfg, "pallas_rnn", True))
+        want_pallas = self.cfg is not None and bool(getattr(self.cfg, "pallas_rnn", False))
         if want_pallas and pallas_gru_supported(x.shape[0], x.shape[1], H, dtype):
             return pallas_lstm_seq(x_proj_seq, hc, resets.astype(jnp.float32), wh)
 
