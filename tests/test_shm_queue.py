@@ -71,14 +71,21 @@ def test_cross_process():
         for p in procs:
             p.start()
         received = []
-        deadline = time.time() + 30
+        # generous deadline + drain-after-join: on a loaded CI box, spawning
+        # three interpreters can take longer than the whole transfer, and the
+        # receive loop must not stop counting before the producers started
+        deadline = time.time() + 120
         while len(received) < 150 and time.time() < deadline:
             try:
                 received.extend(q.get_many(timeout=1.0))
             except QueueEmpty:
                 pass
         for p in procs:
-            p.join(timeout=10)
+            p.join(timeout=30)
+        try:
+            received.extend(q.get_many(timeout=1.0))
+        except QueueEmpty:
+            pass
         assert len(received) == 150
         # each producer's messages arrive in order
         by_val = [i for (_, i) in received]
