@@ -1,11 +1,12 @@
-"""Model export for deployment.
+"""Model export for deployment: StableHLO (jax.export) + TF SavedModel.
 
-Parity: reference `sample_factory/export_onnx.py:26-100` (OnnxExporter wrapping
-the actor-critic for inference). The TPU-native serialization format is
-jax.export (StableHLO, loadable from any XLA runtime). For users who need an
-ONNX runtime, `export_tf_saved_model` emits a TF SavedModel via jax2tf that
-tf2onnx converts offline — see its docstring and docs/migration.md for the
-exact two-step recipe.
+The TPU-native serialization format is jax.export (StableHLO, loadable from
+any XLA runtime). For ONNX, use `sample_factory_tpu/export_onnx.py` — the
+direct flax->ONNX builder (reference parity: `sample_factory/export_onnx.py`).
+`export_tf_saved_model` remains for models the direct builder doesn't map
+(resnet encoders, tuple action heads, custom user models); on jax versions
+with graph serialization its SavedModel is tf2onnx-convertible
+(docs/migration.md).
 """
 
 from __future__ import annotations

@@ -16,8 +16,9 @@ with deterministic=True):
 
     (obs..., [action_mask], rnn_state) -> (actions, new_rnn_state)
 
-Limitations (documented, raise NotImplementedError): resnet encoders, tuple
-action spaces, custom user models, stochastic (sampling) policies.
+Limitations (documented, raise NotImplementedError): resnet encoders,
+custom user models, action masks on tuple spaces, stochastic (sampling)
+policies.
 """
 
 from __future__ import annotations
@@ -183,8 +184,33 @@ def _build_action_head(b: OnnxGraphBuilder, cfg, env_info, ap_params: Dict[str, 
             means = b.slice(means, [0], [n // 2], [1])
             width = n // 2
         return means, "float", width
-    if hasattr(space, "spaces") or type(space).__name__ == "TupleSpec":
-        raise NotImplementedError("ONNX export: tuple action spaces not mapped")
+    from sample_factory_tpu.envs.spaces import Discrete, TupleSpec, num_action_parameters, num_actions
+    from sample_factory_tpu.onnx import onnx_pb2 as ox
+
+    if isinstance(space, TupleSpec):
+        # TupleDistribution.argmax (algo/distributions.py:175): per-subspace
+        # argmax/means, concatenated; mixed tuples emit float32, all-discrete
+        # int32 (envs/spaces.py action_dtype)
+        if mask is not None:
+            raise NotImplementedError("ONNX export: action masks on tuple spaces not mapped")
+        d = ap_params["Dense_0"]
+        logits = b.gemm(decoded, d["kernel"], d.get("bias"))
+        mixed = any(not isinstance(s_i, Discrete) for s_i in space.spaces)
+        out_elem = ox.TensorProto.FLOAT if mixed else ox.TensorProto.INT32
+        parts, offset = [], 0
+        for s_i in space.spaces:
+            w_i = num_action_parameters(s_i)
+            chunk = b.slice(logits, [offset], [offset + w_i], [1])
+            offset += w_i
+            if isinstance(s_i, Discrete):
+                am = b.node("ArgMax", [chunk], axis=-1, keepdims=1)
+                parts.append(b.node("Cast", [am], to=int(out_elem)))
+            else:
+                means = b.slice(chunk, [0], [w_i // 2], [1])  # adaptive layout [means, log_std]
+                parts.append(b.node("Cast", [means], to=int(out_elem)) if out_elem != ox.TensorProto.FLOAT else means)
+        actions = b.node("Concat", parts, axis=1)
+        width = sum(num_actions(s_i) for s_i in space.spaces)
+        return actions, ("float" if mixed else "int"), width
     d = ap_params["Dense_0"]
     logits = b.gemm(decoded, d["kernel"], d.get("bias"))
     if mask is not None:
@@ -193,8 +219,6 @@ def _build_action_head(b: OnnxGraphBuilder, cfg, env_info, ap_params: Dict[str, 
         penalty = b.node("Mul", [b.node("Sub", [one, mask]), b.const(np.float32(1e9))])
         logits = b.node("Sub", [logits, penalty])
     am = b.node("ArgMax", [logits], axis=-1, keepdims=1)
-    from sample_factory_tpu.onnx import onnx_pb2 as ox
-
     return b.node("Cast", [am], to=int(ox.TensorProto.INT32)), "int", 1
 
 

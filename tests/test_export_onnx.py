@@ -152,3 +152,14 @@ def test_onnx_file_roundtrip(tmp_path):
     assert len(m.graph.node) > 0 and len(m.graph.initializer) > 0
     assert {vi.name for vi in m.graph.input} >= {"obs", "rnn_state"}
     assert len(m.graph.output) == 2
+
+
+def test_onnx_tuple_actions():
+    """Mixed tuple (Discrete + Box): per-subspace argmax/means, concat float32."""
+    from sample_factory_tpu.envs.builtin.synthetic import SyntheticTupleActionEnv
+
+    env = SyntheticTupleActionEnv()
+    cfg, env_info, model, ts, obs, rnn = _setup(
+        env, ["--use_rnn=False", "--encoder_mlp_layers", "16", "--normalize_input=True"]
+    )
+    _compare(cfg, env_info, model, ts, obs, rnn)
