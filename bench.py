@@ -220,19 +220,20 @@ def _fetch_barrier(h):
     return h
 
 
-def _measure_fps_windows(step_once, steps_per_iter: int, reps: int = 5, target_window_s: float = 0.75):
-    """Steady-state throughput, robust to dispatch latency and host jitter.
+def _measure_fps_windows(step_once, steps_per_iter: int, reps: int = 5, target_window_s: float = 1.5):
+    """Steady-state throughput that can NEVER over-report.
 
-    The r4 measurement used ONE window sized from ONE blocking iteration;
-    through the tunneled TPU that conflates per-dispatch RTT with
-    per-iteration device time, producing the +-30% scatter (41.3M / 44.4M /
-    60.3M for the same scenario) — and it used block_until_ready, which the
-    tunnel treats as a scheduling (not completion) barrier, inflating FPS
-    past 100% MFU (see _fetch_barrier). Here each rep times a pipelined
-    window of W and of 2W iterations, each terminated by a REAL value fetch,
-    and takes the SLOPE (t2 - t1) / W — fixed costs (dispatch ramp, one RTT,
-    fetch overhead) cancel — and the reported FPS is the median of `reps`
-    slopes with the spread quoted.
+    The r4 measurement used block_until_ready, which the tunnel treats as a
+    scheduling (not completion) barrier — it reported dispatch rate, up to
+    30x the real execution rate (125% MFU in one shipped artifact). Here
+    each rep pipelines W iterations and terminates with a REAL value fetch
+    (_fetch_barrier): the elapsed time is >= true device time plus any
+    tunnel stalls, so every window's FPS is a LOWER bound on the device's
+    capability. The reported value is the median window (what this setup
+    actually sustains, tunnel included); fps_best is the fastest window —
+    the tightest honest lower bound on device capability (relevant for
+    fast scenarios where tunnel dispatch phases starve the device: compare
+    fps_spread_pct).
 
     step_once() must dispatch exactly one iteration asynchronously and return
     a handle; the device executes programs in FIFO order, so fetching a value
@@ -244,7 +245,7 @@ def _measure_fps_windows(step_once, steps_per_iter: int, reps: int = 5, target_w
         h = step_once()
     _fetch_barrier(h)
     per_iter = max((time.perf_counter() - t0) / 10.0, 1e-6)
-    W = int(min(600, max(10, target_window_s / per_iter)))
+    W = int(min(1200, max(10, target_window_s / per_iter)))
 
     fps_reps = []
     for _ in range(reps):
@@ -252,22 +253,15 @@ def _measure_fps_windows(step_once, steps_per_iter: int, reps: int = 5, target_w
         for _ in range(W):
             h = step_once()
         _fetch_barrier(h)
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(2 * W):
-            h = step_once()
-        _fetch_barrier(h)
-        t2 = time.perf_counter() - t0
-        slope = (t2 - t1) / W
-        if slope <= 0:  # noise exceeded the window: fall back to the long window
-            slope = t2 / (2 * W)
-        fps_reps.append(steps_per_iter / slope)
+        elapsed = time.perf_counter() - t0
+        fps_reps.append(W * steps_per_iter / elapsed)
 
     fps_sorted = sorted(fps_reps)
     fps = fps_sorted[len(fps_sorted) // 2]
     spread_pct = 100.0 * (fps_sorted[-1] - fps_sorted[0]) / max(fps, 1e-9)
     return fps, {
         "fps_windows": [round(f, 1) for f in fps_reps],
+        "fps_best": round(fps_sorted[-1], 1),
         "fps_spread_pct": round(spread_pct, 2),
         "window_iters": W,
     }
