@@ -1123,8 +1123,10 @@ def main() -> int:
                 "unit": "env_steps/s",
                 "vs_baseline": round(fps / VIZDOOM_XEON_FPS, 3),
                 **mfu,
-                "note": f"{n} on-device 24x24x3 pixel envs, IMPALA conv + GRU-256, bf16, Pallas GRU "
-                "kernel; vs ViZDoom battle 137,131 FPS (36-core Xeon + GPUs)",
+                "note": f"{n} on-device 24x24x3 pixel envs, IMPALA conv + GRU-256, bf16, XLA fused-scan "
+                "RNN (beats the optional Pallas kernel, docs/performance.md); vs ViZDoom battle "
+                "137,131 FPS (36-core Xeon + GPUs); device time cross-checked against the jax.profiler "
+                "trace in trace_dir",
             }
         )
         print(json.dumps(suite[-1]), flush=True)
