@@ -85,6 +85,65 @@ def aggregate_episode_sums(ep: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+class AmortizedEpisodeSums:
+    """Accumulate per-iteration host-local episode sums and run the
+    cross-process collective only every `every` lockstep iterations.
+
+    `aggregate_episode_sums` costs one gloo/DCN round trip per call and acts
+    as a barrier; calling it every training iteration puts that latency (and
+    straggler wait) on the host-runner critical path. Episode stats only feed
+    windowed averages and PBT objectives, which tolerate chunked delivery, so
+    the sums accumulate locally and the collective is paid 1/`every` as
+    often. All hosts flush on the same iteration count, so the result stays
+    lockstep-deterministic and host-identical (the PBT agreement requirement,
+    see `broadcast_objectives`). On non-flush iterations the numeric fields
+    come back as zeros (windows simply receive nothing that iteration);
+    non-numeric fields (e.g. `extra_stats`) pass through host-local every
+    iteration. Up to `every - 1` trailing iterations of episode sums are
+    dropped at shutdown — bounded and harmless for windowed stats.
+    Single-host: transparent pass-through."""
+
+    def __init__(self, every: int = 8):
+        self.every = max(1, int(every))
+        self._acc: Dict[str, Any] = {}
+        self._n = 0
+
+    def add(self, ep: Dict[str, Any]) -> Dict[str, Any]:
+        if not is_multihost() or self.every == 1:
+            return aggregate_episode_sums(ep)
+        num_keys = sorted(
+            k for k, v in ep.items() if isinstance(v, (int, float, np.floating, np.integer, np.ndarray))
+        )
+        for k in num_keys:
+            v = np.asarray(ep[k], np.float64)
+            self._acc[k] = v + self._acc[k] if k in self._acc else v.copy()
+        self._n += 1
+        out = dict(ep)
+        if self._n >= self.every:
+            flushed = aggregate_episode_sums(dict(self._acc))
+            self._acc = {}
+            self._n = 0
+        else:
+            flushed = None
+        for k in num_keys:
+            arr = np.asarray(ep[k])
+            val = np.asarray(flushed[k]) if flushed is not None else np.zeros_like(arr, np.float64)
+            out[k] = type(ep[k])(val) if isinstance(ep[k], (int, float)) else val.astype(arr.dtype, copy=False)
+        return out
+
+    def flush(self) -> Dict[str, Any] | None:
+        """Global sums of pending local accumulations, or None if nothing is
+        pending. Lockstep collective — call it on every host at the same
+        point (the runners call it once on clean loop exit, so the last
+        ``< every`` iterations of episode sums still reach the windows)."""
+        if not is_multihost() or self._n == 0:
+            return None
+        flushed = aggregate_episode_sums(dict(self._acc))
+        self._acc = {}
+        self._n = 0
+        return flushed
+
+
 def broadcast_objectives(objectives: list) -> list:
     """Broadcast per-policy PBT objectives from host 0 (None-safe via NaN
     sentinel). Host 0's windowed stats decide; with the PBT RNG seeded
@@ -139,9 +198,17 @@ def localize_replicated(tree: Any, mesh) -> Any:
     from jax.experimental import multihost_utils
     from jax.sharding import PartitionSpec as P
 
-    return jax.tree.map(
-        lambda x: multihost_utils.global_array_to_host_local_array(x, mesh, P()), tree
-    )
+    def loc(x):
+        # Fast path: a fully-replicated global array already holds its complete
+        # value on every local device — take that shard directly instead of
+        # dispatching a distributed reshard program (which costs cross-process
+        # round trips per leaf per call; this sits on the per-iteration
+        # critical path of the host-env runners, host_runner.py).
+        if isinstance(x, jax.Array) and x.is_fully_replicated and len(x.addressable_shards) > 0:
+            return x.addressable_data(0)
+        return multihost_utils.global_array_to_host_local_array(x, mesh, P())
+
+    return jax.tree.map(loc, tree)
 
 
 def sync_barrier(name: str = "barrier") -> None:

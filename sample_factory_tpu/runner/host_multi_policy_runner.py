@@ -53,9 +53,10 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
 
         # multihost: per-process sampler shards + one global SPMD population
         # train step (same design as HostEnvRunner)
-        from sample_factory_tpu.parallel.multihost import is_multihost
+        from sample_factory_tpu.parallel.multihost import AmortizedEpisodeSums, is_multihost
 
         self._mh = is_multihost()
+        self._ep_agg = AmortizedEpisodeSums()
         self.mesh = None
         if self._mh:
             from sample_factory_tpu.parallel.mesh import make_mesh
@@ -183,13 +184,10 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
                     slot_policies=self.slot_policies,
                 )
                 if self._mh:
-                    from sample_factory_tpu.parallel.multihost import (
-                        aggregate_episode_sums,
-                        globalize_host_trajectory,
-                    )
+                    from sample_factory_tpu.parallel.multihost import globalize_host_trajectory
 
                     traj = globalize_host_trajectory(traj, self.mesh)
-                    ep_stats = aggregate_episode_sums(ep_stats)
+                    ep_stats = self._ep_agg.add(ep_stats)
 
                 keys = jax.random.split(k_train, self.P)
                 if cfg.async_rl:
@@ -220,6 +218,19 @@ class HostMultiPolicyRunner(MultiPolicyRunner):
 
                 self._periodic_tasks(stats)
                 self._notify_observers(stats)
+            # clean exit: deliver the trailing (< every) amortized episode
+            # sums (same rationale as HostEnvRunner.run)
+            if self._mh:
+                tail = self._ep_agg.flush()
+                if tail is not None:
+                    n, ret, length = (
+                        tail.get("count", 0.0),
+                        tail.get("return_sum", 0.0),
+                        tail.get("len_sum", 0.0),
+                    )
+                    for p in range(self.P):
+                        share = float(np.mean(self.slot_policies.reshape(-1) == p))
+                        self.episode_stats_per_policy[p].add_rollout_stats(n * share, ret * share, length * share)
         except KeyboardInterrupt:
             log.info("Interrupted, saving...")
             status = 1

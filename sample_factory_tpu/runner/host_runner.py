@@ -27,7 +27,7 @@ from sample_factory_tpu.algo.optimizers import make_optimizer
 from sample_factory_tpu.envs.env_info import obtain_env_info
 from sample_factory_tpu.models.actor_critic import create_actor_critic
 from sample_factory_tpu.parallel.multihost import (
-    aggregate_episode_sums,
+    AmortizedEpisodeSums,
     globalize_host_trajectory,
     globalize_replicated,
     is_multihost,
@@ -93,6 +93,7 @@ class HostEnvRunner(Runner):
         # single SPMD train step (see run()). Env seeding decorrelates per
         # host; model seeds stay identical so params init the same everywhere.
         self._mh = is_multihost()
+        self._ep_agg = AmortizedEpisodeSums()
         self.mesh = None
         if self._mh:
             from sample_factory_tpu.parallel.mesh import make_mesh
@@ -195,11 +196,13 @@ class HostEnvRunner(Runner):
                         idle_fn=idle_fn,
                     )
                 if self._mh:
-                    # local shard -> one global batch sharded over 'data';
-                    # host-local episode sums -> global sums (lockstep call)
+                    # local shard -> one global batch sharded over 'data'
+                    # (metadata-only); host-local episode sums -> global sums,
+                    # amortized: the collective+barrier runs every few
+                    # iterations, not on every critical-path pass
                     with self.timing.add_time("globalize"):
                         traj = globalize_host_trajectory(traj, self.mesh)
-                        ep_stats = aggregate_episode_sums(ep_stats)
+                        ep_stats = self._ep_agg.add(ep_stats)
 
                 stats = None
                 if use_quanta:
@@ -242,6 +245,14 @@ class HostEnvRunner(Runner):
                 # the overlap); on the first iteration there are none yet —
                 # observers always get a dict of device arrays, never None
                 self._notify_observers(stats if stats is not None else (self._last_stats or {}))
+            # clean exit: deliver the trailing (< every) amortized episode
+            # sums so short runs and run tails aren't dropped from the windows
+            if self._mh:
+                tail = self._ep_agg.flush()
+                if tail is not None:
+                    self.episode_stats.add_rollout_stats(
+                        tail.get("count", 0.0), tail.get("return_sum", 0.0), tail.get("len_sum", 0.0)
+                    )
         except KeyboardInterrupt:
             log.info("Interrupted, saving checkpoint...")
             status = 1

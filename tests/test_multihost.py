@@ -104,6 +104,17 @@ ts_sync = pbt_sync.on_training_step(stacked_ts, [10] * P, synced)
 out["pbt_sync_hparams"] = pbt_sync.policy_hparams
 out["pbt_sync_train_step"] = np.asarray(jax.device_get(ts_sync.train_step)).tolist()
 
+# ---- amortized episode-sum aggregation: zeros until the flush iteration,
+# then the GLOBAL sum over everything accumulated since the last flush
+from sample_factory_tpu.parallel.multihost import AmortizedEpisodeSums
+
+agg = AmortizedEpisodeSums(every=3)
+amort = []
+for it in range(3):
+    r = agg.add({"count": 1.0 + pid, "return_sum": np.asarray([float(10 * (it + 1) * (pid + 1))])})
+    amort.append([r["count"], float(np.asarray(r["return_sum"])[0])])
+out["amortized"] = amort
+
 # ---- summary writer gating
 from sample_factory_tpu.runner.stats import SummaryWriter
 
@@ -118,6 +129,15 @@ from sample_factory_tpu.parallel.mesh import make_mesh, replicate_tree, shard_en
 
 mesh = make_mesh(cfg)
 assert mesh.devices.size == 4
+
+# ---- localize_replicated fast path: a fully-replicated global array comes
+# back locally addressable with the right value (no distributed reshard)
+from sample_factory_tpu.parallel.multihost import globalize_replicated, localize_replicated
+
+g = globalize_replicated({"w": np.arange(6, dtype=np.float32).reshape(2, 3)}, mesh)
+l = localize_replicated(g, mesh)
+assert len(l["w"].addressable_shards) > 0
+out["localized"] = np.asarray(l["w"]).ravel().tolist()
 k_env, k_model, k_train = jax.random.split(jax.random.PRNGKey(1), 3)
 ss = init_sampler_state(cfg, env, k_env, cfg.num_envs)
 ts = init_train_state(cfg, env_info, model, tx, k_model, example_obs)
@@ -219,6 +239,23 @@ def test_pbt_agrees_with_broadcast(mh_results):
     assert r0["objectives_synced"] == pytest.approx([0.1, 5.0, 1.0, 3.0], rel=1e-6)
     assert r0["pbt_sync_hparams"] == r1["pbt_sync_hparams"]
     assert r0["pbt_sync_train_step"] == r1["pbt_sync_train_step"]
+
+
+def test_amortized_episode_sums(mh_results):
+    """AmortizedEpisodeSums(every=3): iterations 0-1 return zeros (no
+    collective), iteration 2 flushes the GLOBAL sum of all three local
+    contributions from both hosts."""
+    r0, r1 = mh_results[0], mh_results[1]
+    # count: host0 adds 1.0/iter, host1 adds 2.0/iter -> global 9.0 at flush
+    # return_sum: host0 adds 10+20+30, host1 adds 20+40+60 -> 180 at flush
+    expect = [[0.0, 0.0], [0.0, 0.0], [9.0, 180.0]]
+    assert r0["amortized"] == expect
+    assert r1["amortized"] == expect
+
+
+def test_localize_replicated_fast_path(mh_results):
+    for r in (mh_results[0], mh_results[1]):
+        assert r["localized"] == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
 
 
 def test_writer_gated_to_primary(mh_results):
