@@ -75,7 +75,7 @@ class SummaryWriter:
         self.cfg = cfg
         # stats fed to writers are already GLOBAL on every host — device-env
         # runners get cross-host episode sums out of the SPMD program itself,
-        # host-env runners all-reduce them (multihost.aggregate_episode_sums
+        # host-env runners all-reduce them (multihost.AmortizedEpisodeSums
         # in HostEnvRunner/HostMultiPolicyRunner.run) — so on multihost runs
         # only host 0 writes: summary dirs live on a shared filesystem and N
         # identical writers would clobber each other
